@@ -1,0 +1,231 @@
+"""Attention modules: softmax O(N^2), FAVOR+ O(N), ReLU O(N).
+
+Flax parameter containers over `ops.attention_core` / `ops.feature_maps`.
+RPE dispatch is **static**: the RPE argument is a (possibly None) flax
+module whose Python type selects the compute path at trace time — the
+reference's runtime isinstance chain (favor_plus.py:179-209) becomes
+compile-time branch selection, so each of the 11 variants compiles to its
+own fused XLA program.
+
+Compatibility contracts preserved:
+  * fused QKV projection, optional bias (softmax.py:38, favor_plus.py:58),
+  * softmax scale d^-1/2; linear-attention scale d^-1/4 on both q and k
+    (favor_plus.py:71),
+  * KERPLE requires L2-normalised q/k (favor_plus.py:197-201) and is
+    REJECTED by softmax attention (softmax.py:68-77),
+  * FAVOR+/ReLU raise on return_attention (favor_plus.py:267-273),
+  * optional feature redraw every `feature_redraw_interval` training steps
+    (favor_plus.py:167-171) via a mutable 'state' counter + 'features' rng.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import (
+    default_num_features,
+    gaussian_features,
+    linear_attention,
+    orthogonal_gaussian_features,
+    phi_positive,
+    phi_relu,
+    softmax_attention,
+)
+from .rpe import CirculantStringRPE, KerpleRPE, RoPE
+
+
+def _split_heads(x, heads: int):
+    """[B, N, C] -> [B, H, N, C/H]"""
+    B, N, C = x.shape
+    return x.reshape(B, N, heads, C // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    """[B, H, N, D] -> [B, N, H*D]"""
+    B, H, N, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+
+class SoftmaxAttention(nn.Module):
+    """Standard multi-head softmax attention (reference: softmax.py:14-124)."""
+
+    dim: int
+    heads: int
+    dropout: float = 0.0
+    qkv_bias: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+    @nn.compact
+    def __call__(self, x, mask=None, rpe=None, return_attention: bool = False,
+                 deterministic: bool = True):
+        if isinstance(rpe, KerpleRPE):
+            raise NotImplementedError(
+                "KERPLE RPE is designed specifically for kernelized attention "
+                "(FAVOR+/ReLU Performer) and cannot be used with standard "
+                "softmax attention. KERPLE requires linear attention "
+                "mechanisms to achieve O(n log n) complexity. For softmax "
+                "attention, use RoPE or Circulant-STRING RPE instead."
+            )
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv",
+                       kernel_init=nn.initializers.xavier_uniform())(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))
+
+        if isinstance(rpe, RoPE):
+            q, k = rpe.apply_rotary(q, k)
+        elif isinstance(rpe, CirculantStringRPE):
+            q, k = rpe.rotate(q, k)
+
+        attn_drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        out = softmax_attention(
+            q, k, v, self.head_dim ** -0.5, mask=mask,
+            return_attention=return_attention,
+            dropout_fn=attn_drop,
+        )
+        if return_attention:
+            out, attn_weights = out
+        out = _merge_heads(out)
+        out = nn.Dense(self.dim, name="proj",
+                       kernel_init=nn.initializers.xavier_uniform())(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        if return_attention:
+            return out, attn_weights
+        return out
+
+
+class _KernelAttention(nn.Module):
+    """Shared machinery for FAVOR+ and ReLU linear attention
+    (reference: favor_plus.py:16-275 / relu.py:16-273 are structural clones)."""
+
+    dim: int
+    heads: int
+    dropout: float = 0.0
+    num_features: Optional[int] = None
+    use_orthogonal: bool = True
+    feature_redraw_interval: Optional[int] = None
+    qkv_bias: bool = False
+
+    feature_kind: str = "favor_plus"  # overridden by subclasses
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+    @property
+    def m(self) -> int:
+        return (
+            self.num_features
+            if self.num_features is not None
+            else default_num_features(self.head_dim)
+        )
+
+    def _draw_omega(self, key):
+        if self.use_orthogonal:
+            return orthogonal_gaussian_features(key, self.heads, self.head_dim, self.m)
+        return gaussian_features(key, self.heads, self.head_dim, self.m)
+
+    def _phi(self, x, omega):
+        if self.feature_kind == "favor_plus":
+            return phi_positive(x, omega)
+        return phi_relu(x, omega)
+
+    @nn.compact
+    def __call__(self, x, mask=None, rpe=None, return_attention: bool = False,
+                 deterministic: bool = True):
+        if return_attention:
+            raise NotImplementedError(
+                "Linear attention doesn't compute explicit attention "
+                "matrices. Returning attention weights would require O(N^2) "
+                "computation."
+            )
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv",
+                       kernel_init=nn.initializers.xavier_uniform())(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))
+
+        # Omega lives in the non-trainable 'constants' collection; generated
+        # once at init from the 'params' rng (explicit-key analogue of the
+        # reference's buffer, favor_plus.py:73-81).
+        omega_var = self.variable(
+            "constants", "omega",
+            lambda: self._draw_omega(self.make_rng("params")),
+        )
+
+        # Optional feature redraw during training (favor_plus.py:167-171).
+        if (
+            self.feature_redraw_interval is not None
+            and not deterministic
+            and not self.is_initializing()
+        ):
+            counter = self.variable(
+                "state", "redraw_counter", lambda: jnp.zeros((), jnp.int32)
+            )
+            fresh = self._draw_omega(self.make_rng("features"))
+            do_redraw = (counter.value % self.feature_redraw_interval) == 0
+            omega_var.value = jnp.where(do_redraw, fresh, omega_var.value)
+            counter.value = counter.value + 1
+        elif self.feature_redraw_interval is not None and self.is_initializing():
+            self.variable(
+                "state", "redraw_counter", lambda: jnp.zeros((), jnp.int32)
+            )
+        omega = omega_var.value
+
+        # Static RPE dispatch (trace-time; no runtime branching in XLA).
+        scale = self.head_dim ** -0.25  # d^-1/4 on both q and k
+        use_kerple = isinstance(rpe, KerpleRPE)
+        if isinstance(rpe, RoPE):
+            q, k = rpe.apply_rotary(q, k)
+            q, k = q * scale, k * scale
+        elif isinstance(rpe, CirculantStringRPE):
+            q, k = rpe.rotate(q, k)
+            q, k = q * scale, k * scale
+        elif use_kerple:
+            # L2 normalisation for stability (Luo et al. 2021 §3.3, Thm 3)
+            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+            k = k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+        else:
+            q, k = q * scale, k * scale
+
+        q_prime = self._phi(q, omega)
+        k_prime = self._phi(k, omega)
+
+        if use_kerple:
+            out = rpe.attention(q_prime, k_prime, v)
+        else:
+            out = linear_attention(q_prime, k_prime, v)
+
+        out = _merge_heads(out)
+        out = nn.Dense(self.dim, name="proj",
+                       kernel_init=nn.initializers.xavier_uniform())(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out
+
+
+class FavorPlusAttention(_KernelAttention):
+    """FAVOR+ positive-random-feature attention (Choromanski et al. 2020;
+    reference: models/attention/favor_plus.py)."""
+
+    feature_kind: str = "favor_plus"
+
+
+class ReluAttention(_KernelAttention):
+    """ReLU-feature linear attention (reference: models/attention/relu.py)."""
+
+    feature_kind: str = "relu"
+
+
+# name -> class, with aliases (reference: models/attention/__init__.py:16-23)
+ATTENTION_REGISTRY = {
+    "softmax": SoftmaxAttention,
+    "baseline": SoftmaxAttention,
+    "favor_plus": FavorPlusAttention,
+    "favor+": FavorPlusAttention,
+    "performer": FavorPlusAttention,
+    "relu": ReluAttention,
+}

@@ -1,0 +1,92 @@
+"""Shared model layers: MLP and the unified transformer block.
+
+Mirrors the reference's pre-norm block (models/components/
+unified_transformer.py:13-90): x + attn(LN(x), rpe) then x + mlp(LN(x)),
+with the RPE threaded INTO the attention call (KERPLE must run inside the
+kernelised-attention math, not after it).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+
+from .attention import ATTENTION_REGISTRY
+from .rpe import RPE_REGISTRY
+
+
+class Mlp(nn.Module):
+    """Linear -> GELU -> Dropout -> Linear -> Dropout
+    (reference: unified_transformer.py:52-58)."""
+
+    dim: int
+    mlp_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.mlp_dim, name="fc1",
+                     kernel_init=nn.initializers.xavier_uniform())(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.dim, name="fc2",
+                     kernel_init=nn.initializers.xavier_uniform())(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+def _freeze_kwargs(d: Optional[Dict[str, Any]]):
+    """Dict -> hashable tuple for flax static fields."""
+    if not d:
+        return ()
+    return tuple(sorted(d.items()))
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm transformer block with statically injected attention + RPE.
+
+    `attention_type` / `rpe_type` are registry names resolved at module
+    construction; each (attention, rpe) pair traces to its own XLA program.
+    Per reference semantics, every block owns its *own* RPE instance
+    (base_vit.py:112-150), so RPE params are per-block.
+    """
+
+    dim: int
+    heads: int
+    mlp_dim: int
+    num_patches: int  # sequence length including CLS
+    dropout: float = 0.0
+    attention_type: str = "softmax"
+    rpe_type: Optional[str] = None
+    attention_kwargs: tuple = ()  # sorted (key, value) pairs
+    rpe_kwargs: tuple = ()
+
+    def setup(self):
+        attn_cls = ATTENTION_REGISTRY[self.attention_type]
+        self.attention = attn_cls(
+            dim=self.dim,
+            heads=self.heads,
+            dropout=self.dropout,
+            **dict(self.attention_kwargs),
+        )
+        if self.rpe_type is not None:
+            rpe_cls = RPE_REGISTRY[self.rpe_type]
+            self.rpe = rpe_cls(
+                num_patches=self.num_patches,
+                dim=self.dim,
+                heads=self.heads,
+                **dict(self.rpe_kwargs),
+            )
+        else:
+            self.rpe = None
+        self.norm1 = nn.LayerNorm(name="norm1")
+        self.norm2 = nn.LayerNorm(name="norm2")
+        self.mlp = Mlp(dim=self.dim, mlp_dim=self.mlp_dim, dropout=self.dropout)
+
+    def __call__(self, x, deterministic: bool = True):
+        x = x + self.attention(
+            self.norm1(x), rpe=self.rpe, deterministic=deterministic
+        )
+        x = x + self.mlp(self.norm2(x), deterministic=deterministic)
+        return x

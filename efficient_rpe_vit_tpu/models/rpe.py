@@ -1,0 +1,173 @@
+"""RPE modules — thin flax parameter containers over `ops.rotations` /
+`ops.fft_toeplitz` functional cores.
+
+Mirrors the reference's RPE family (models/rpe/): RoPE (0 params), KERPLE
+([heads, 2n-1] biases), Circulant-STRING ([heads, coord_dim, head_dim]
+coefficients). Registry name/alias vocabulary matches
+reference models/rpe/__init__.py:17-24.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import (
+    apply_rope,
+    grid_positions_2d,
+    kerple_linear_attention,
+    rope_tables,
+    toeplitz_matmul,
+)
+from ..ops.rotations import apply_circulant_string
+
+
+class RoPE(nn.Module):
+    """1D rotary embedding over token index 0..N-1 *including CLS*
+    (reference: models/rpe/rope.py:18-137; parameter-free)."""
+
+    num_patches: int  # sequence length including CLS
+    dim: int
+    heads: int
+    theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+    def setup(self):
+        cos, sin = rope_tables(self.num_patches, self.head_dim, self.theta)
+        self._cos, self._sin = cos, sin  # static numpy constants
+
+    def apply_rotary(self, q, k):
+        return apply_rope(q, k, self._cos, self._sin)
+
+    def __call__(self, x):  # BaseRPE-interface no-op (reference: rope.py:139-162)
+        return x
+
+
+class KerpleRPE(nn.Module):
+    """KERPLE 'most general' RPE (Luo et al. 2021, Alg. 1).
+
+    Learnable biases b_{j-i} per head; Toeplitz C[i,j] = exp(b_{j-i}) applied
+    inside kernelised attention (reference: models/rpe/kerple.py:18-344).
+    Param shape [heads, 2n-1], init N(0, 0.02) (kerple.py:62-72).
+    """
+
+    num_patches: int  # sequence length including CLS
+    dim: int
+    heads: int
+    method: str = "auto"  # kerple compute path: auto | dense | fft
+
+    def setup(self):
+        self.rel_pos_bias = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(stddev=0.02),
+            (self.heads, 2 * self.num_patches - 1),
+        )
+
+    @property
+    def max_rel_pos(self) -> int:
+        return 2 * self.num_patches - 1
+
+    def coeffs(self):
+        """Positive Toeplitz coefficients c_k = exp(b_k)."""
+        return jnp.exp(self.rel_pos_bias)
+
+    def attention(self, q_prime, k_prime, v):
+        """Full KERPLE linear attention (numerator/denominator fused)."""
+        return kerple_linear_attention(
+            q_prime, k_prime, v, self.coeffs(), method=self.method
+        )
+
+    def apply_rpe_fft(self, k_prime, v: Optional[jnp.ndarray] = None):
+        """Reference-compatible D1/D2 API (kerple.py:99-344).
+
+        D1 (v given):  [B, H, n, F, D] = T @ outer(phi(K), V)
+        D2 (v None):   [B, H, n, F]    = T @ phi(K)
+        Exposed for tests/diagnostics; the fused `attention` path above is
+        what models actually run (it never materialises D1).
+        """
+        c = self.coeffs()
+        if v is None:
+            return toeplitz_matmul(c, k_prime, method="fft")
+        B, H, N, F = k_prime.shape
+        D = v.shape[-1]
+        a1 = (k_prime[..., :, None] * v[..., None, :]).reshape(B, H, N, F * D)
+        return toeplitz_matmul(c, a1, method="fft").reshape(B, H, N, F, D)
+
+    def __call__(self, x):
+        raise NotImplementedError(
+            "KERPLE does not use the standard forward() interface. "
+            "It must run inside kernelised attention (FAVOR+/ReLU); see "
+            "models/attention.py."
+        )
+
+
+class CirculantStringRPE(nn.Module):
+    """Circulant-STRING RPE (Schenck et al. 2025).
+
+    Learnable circulant coefficients [heads, coord_dim, head_dim], init
+    N(0, 0.01); FFT rotation along head_dim; true 2D integer grid positions;
+    CLS excluded (reference: models/rpe/circulant_string.py:66-341).
+    """
+
+    num_patches: int  # sequence length including CLS
+    dim: int
+    heads: int
+    coord_dim: int = 2
+    block_size: Optional[int] = None
+    image_size: Optional[int] = None  # accepted for factory parity; unused
+    patch_size: Optional[int] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+    def setup(self):
+        if self.block_size is not None:
+            if self.head_dim % self.block_size != 0:
+                raise ValueError(
+                    f"head_dim ({self.head_dim}) must be divisible by "
+                    f"block_size ({self.block_size})"
+                )
+            # Reference stubs block-circulant and falls back with a warning
+            # (circulant_string.py:127-144). We do the same for parity.
+            warnings.warn(
+                f"block_size={self.block_size} specified but block-circulant "
+                "optimisation not yet implemented; using full-dimension "
+                "circulant.",
+                UserWarning,
+            )
+        self.circulant_coeffs = self.param(
+            "circulant_coeffs",
+            nn.initializers.normal(stddev=0.01),
+            (self.heads, self.coord_dim, self.head_dim),
+        )
+        self._positions = grid_positions_2d(self.num_patches - 1, self.coord_dim)
+
+    def get_eigenvalues(self):
+        from ..ops import circulant_eigenvalues
+
+        return circulant_eigenvalues(self.circulant_coeffs)
+
+    def rotate(self, q, k):
+        """Rotate q/k patch tokens; CLS passes through."""
+        return apply_circulant_string(q, k, self._positions, self.circulant_coeffs)
+
+    def __call__(self, x):  # BaseRPE-interface no-op
+        return x
+
+
+# name -> class, with aliases (reference: models/rpe/__init__.py:17-24)
+RPE_REGISTRY = {
+    "most_general": KerpleRPE,
+    "kerple": KerpleRPE,
+    "circulant_string": CirculantStringRPE,
+    "circulant": CirculantStringRPE,
+    "rope": RoPE,
+    "rotary": RoPE,
+}

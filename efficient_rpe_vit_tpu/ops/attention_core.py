@@ -1,0 +1,173 @@
+"""Attention compute cores — pure functions on [B, H, N, D] arrays.
+
+Three mechanisms, matching the reference's math exactly:
+  * softmax O(N^2)   (reference: models/attention/softmax.py:100-115),
+  * linear  O(N)     two-einsum kernelised attention
+                     (reference: favor_plus.py:247-260 / relu.py:245-258),
+  * KERPLE  O(N log N) linear attention with a Toeplitz relative-position
+                     bias inside the kernelised sum
+                     (reference: favor_plus.py:221-244 + rpe/kerple.py:99-344).
+
+TPU-first KERPLE design. The reference materialises the outer-product tensor
+A1 in [B, H, N, F, D] before the FFT (kerple.py:252-256) — the #1 memory
+hazard flagged in SURVEY.md §7. We use the algebraic identity
+
+    num[i]  = sum_f q'[i,f] * (T @ (k' ⊗ v))[i,f,:]
+            = sum_j T[i,j] * (q' k'^T)[i,j] * v[j]        (exactly equal)
+    den[i]  = sum_j T[i,j] * (q' k'^T)[i,j]
+
+so for moderate N the whole thing is two MXU matmuls plus an elementwise
+Toeplitz mask — no [B,H,N,F,D] tensor, no FFT, no complex numbers. For long
+sequences (N >= DENSE_CROSSOVER) we keep the O(N log N) FFT path but stream
+it per head-dim block so peak memory is [B, H, N, F, block] instead of
+[B, H, N, F, D].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .fft_toeplitz import toeplitz_from_coeffs, toeplitz_matmul_fft
+
+EPS = 1e-6  # denominator stabiliser (reference: favor_plus.py:260)
+
+# Below this sequence length the masked-matmul KERPLE path wins on TPU.
+KERPLE_DENSE_CROSSOVER_N = 256
+
+
+def softmax_attention(q, k, v, scale, mask=None, return_attention: bool = False,
+                      dropout_fn=None):
+    """softmax(q k^T * scale) v.
+
+    Args:
+        q, k, v: [B, H, N, D].
+        scale: scalar (typically head_dim ** -0.5).
+        mask: optional [B, N, N] or [B, 1, N, N]; zeros are masked out.
+        dropout_fn: optional callable applied to the attention probabilities
+            (the reference's attn_dropout, softmax.py:112).
+    Returns:
+        [B, H, N, D], and the [B, H, N, N] probabilities if return_attention.
+    """
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        if mask.ndim == 3:
+            mask = mask[:, None]
+        attn = jnp.where(mask == 0, -jnp.inf, attn)
+    attn = jax.nn.softmax(attn, axis=-1)
+    if dropout_fn is not None:
+        attn = dropout_fn(attn)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+    if return_attention:
+        return out, attn
+    return out
+
+
+def linear_attention(q_prime, k_prime, v):
+    """O(N) kernelised attention: out_i = phi(q_i) (sum_j phi(k_j)^T v_j)
+    normalised by phi(q_i) (sum_j phi(k_j)).
+
+    (reference: favor_plus.py:247-260)
+
+    Args:
+        q_prime, k_prime: [B, H, N, F] non-negative features.
+        v: [B, H, N, D].
+    Returns:
+        [B, H, N, D].
+    """
+    kv = jnp.einsum(
+        "bhnf,bhnd->bhfd", k_prime, v, preferred_element_type=jnp.float32
+    )
+    num = jnp.einsum(
+        "bhnf,bhfd->bhnd", q_prime, kv, preferred_element_type=jnp.float32
+    )
+    k_sum = jnp.sum(k_prime, axis=2)  # [B, H, F]
+    den = jnp.einsum(
+        "bhnf,bhf->bhn", q_prime, k_sum, preferred_element_type=jnp.float32
+    )
+    return (num / (den[..., None] + EPS)).astype(v.dtype)
+
+
+def kerple_linear_attention(q_prime, k_prime, v, coeffs, method: str = "auto",
+                            fft_block: int = 16):
+    """KERPLE attention: out_i = phi(q_i) D1_i / (phi(q_i) D2_i + eps) where
+    D1 = T @ [phi(k_j)^T v_j]_j and D2 = T @ phi(K)^T, T[i,j] = exp(b_{j-i})
+    (Luo et al. 2021 Alg. 1; reference: kerple.py:99-344, favor_plus.py:221-244).
+
+    Args:
+        q_prime, k_prime: [B, H, N, F].
+        v: [B, H, N, D].
+        coeffs: [H, 2N-1] positive Toeplitz coefficients c = exp(rel_pos_bias).
+        method: 'auto' | 'dense' | 'fft'. 'auto' chooses dense (masked matmul,
+            exact same result) for N < KERPLE_DENSE_CROSSOVER_N.
+        fft_block: head_dim streaming block for the FFT path's memory cap.
+    Returns:
+        [B, H, N, D].
+    """
+    n = q_prime.shape[2]
+    if method == "auto":
+        method = "dense" if n < KERPLE_DENSE_CROSSOVER_N else "fft"
+    if method == "dense":
+        return _kerple_dense(q_prime, k_prime, v, coeffs)
+    if method == "fft":
+        return _kerple_fft(q_prime, k_prime, v, coeffs, fft_block)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _kerple_dense(q_prime, k_prime, v, coeffs):
+    """Exact O(N^2) MXU path via W = (q' k'^T) ⊙ T; out = W v / W 1."""
+    n = q_prime.shape[2]
+    T = toeplitz_from_coeffs(coeffs, n)  # [H, N, N]
+    A = jnp.einsum(
+        "bhif,bhjf->bhij", q_prime, k_prime, preferred_element_type=jnp.float32
+    )
+    W = A * T[None]
+    num = jnp.einsum(
+        "bhij,bhjd->bhid", W.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    den = jnp.sum(W, axis=-1)  # [B, H, N]
+    return (num / (den[..., None] + EPS)).astype(v.dtype)
+
+
+def _kerple_fft(q_prime, k_prime, v, coeffs, fft_block: int):
+    """O(N log N) path. D2 in one FFT; D1 streamed over head_dim blocks via
+    lax.scan so peak extra memory is [B, H, N, F, fft_block]."""
+    B, H, N, F = q_prime.shape
+    D = v.shape[-1]
+
+    # Denominator: D2 = T @ phi(K) -> [B, H, N, F]
+    D2 = toeplitz_matmul_fft(coeffs, k_prime)
+    den = jnp.einsum(
+        "bhnf,bhnf->bhn", q_prime, D2, preferred_element_type=jnp.float32
+    )
+
+    # Numerator streamed over head_dim blocks.
+    if D % fft_block != 0:
+        fft_block = D  # fall back to single block for awkward dims
+    n_blocks = D // fft_block
+    v_blocks = jnp.moveaxis(
+        v.reshape(B, H, N, n_blocks, fft_block), 3, 0
+    )  # [n_blocks, B, H, N, fft_block]
+
+    def block_step(carry, v_blk):
+        # A1_blk[b,h,n,f,d'] = k'[b,h,n,f] * v_blk[b,h,n,d']
+        A1 = (k_prime[..., :, None] * v_blk[..., None, :]).reshape(
+            B, H, N, F * v_blk.shape[-1]
+        )
+        D1 = toeplitz_matmul_fft(coeffs, A1).reshape(
+            B, H, N, F, v_blk.shape[-1]
+        )
+        num_blk = jnp.einsum(
+            "bhnf,bhnfd->bhnd", q_prime, D1, preferred_element_type=jnp.float32
+        )
+        return carry, num_blk
+
+    _, num_blocks = jax.lax.scan(block_step, 0, v_blocks)
+    num = jnp.moveaxis(num_blocks, 0, 3).reshape(B, H, N, D)
+    return (num / (den[..., None] + EPS)).astype(v.dtype)

@@ -1,0 +1,138 @@
+"""Toeplitz × matrix products: O(n log n) XLA-FFT path and an MXU dense path.
+
+Semantics match the reference's `fft_toeplitz_matmul`
+(reference: models/rpe/fft_utils.py:17-258): coefficients are ordered
+``[c_{-(n-1)}, ..., c_{-1}, c_0, c_1, ..., c_{n-1}]`` and the Toeplitz matrix
+is ``T[i, j] = c[(j - i) + (n - 1)]``.
+
+TPU-first differences from the reference:
+  * fully vectorised over arbitrary leading (batch/head) dims — the
+    reference loops over heads in Python (fft_utils.py:73-80); here a single
+    broadcasted XLA FFT covers all of them,
+  * a **dense MXU path** (`toeplitz_matmul_dense`): at ViT-scale sequence
+    lengths (n = 17) an n×n matmul on the 128×128 systolic array is far
+    faster than an FFT round-trip on the VPU. `toeplitz_matmul` picks the
+    path statically from the trace-time shape,
+  * real-valued throughout the public API; complex lives only inside the FFT.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Below this sequence length the dense O(n^2) MXU path beats the FFT path.
+# n=128 dense work is a single MXU tile; FFT needs several VPU passes +
+# complex arithmetic. Crossover measured conservatively.
+DENSE_CROSSOVER_N = 128
+
+
+def _seq_len_from_coeffs(c) -> int:
+    m = c.shape[-1]
+    if m % 2 != 1:
+        raise ValueError(f"coefficient length must be odd (2n-1), got {m}")
+    return (m + 1) // 2
+
+
+def toeplitz_from_coeffs(c, n: int | None = None):
+    """Materialise T[..., i, j] = c[..., (j - i) + (n-1)].
+
+    Args:
+        c: [..., 2n-1] coefficients.
+    Returns:
+        [..., n, n] Toeplitz matrix.
+    """
+    if n is None:
+        n = _seq_len_from_coeffs(c)
+    idx = (jnp.arange(n)[None, :] - jnp.arange(n)[:, None]) + (n - 1)  # [n, n]
+    return jnp.take(c, idx, axis=-1)
+
+
+def toeplitz_matmul_dense(c, x):
+    """Dense MXU path: materialise T (n×n) and matmul.
+
+    Args:
+        c: [..., 2n-1] coefficients (leading dims broadcast against x's).
+        x: [..., n, d].
+    Returns:
+        [..., n, d] = T @ x, computed in fp32 on the MXU.
+    """
+    n = x.shape[-2]
+    T = toeplitz_from_coeffs(c, n)
+    return jnp.einsum(
+        "...ij,...jd->...id", T, x, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def toeplitz_matmul_fft(c, x):
+    """O(n log n) path via circulant embedding + XLA FFT.
+
+    The (2n-1)-circulant whose first column is
+    ``[c_0, c_{-1}, ..., c_{-(n-1)}, c_{n-1}, ..., c_1]`` agrees with T on its
+    leading n×n block (reference: fft_utils.py:142-146, 225-229). Multiply in
+    the frequency domain, keep the first n rows, take the real part.
+
+    Args:
+        c: [..., 2n-1] coefficients (leading dims broadcast against x's).
+        x: [..., n, d].
+    Returns:
+        [..., n, d] real.
+    """
+    n = x.shape[-2]
+    if c.shape[-1] != 2 * n - 1:
+        raise ValueError(
+            f"coefficient length {c.shape[-1]} != 2n-1 for n={n}"
+        )
+    col = jnp.concatenate(
+        [
+            c[..., n - 1 : n],                      # c_0
+            jnp.flip(c[..., : n - 1], axis=-1),      # c_{-1} .. c_{-(n-1)}
+            jnp.flip(c[..., n:], axis=-1),           # c_{n-1} .. c_1
+        ],
+        axis=-1,
+    )  # [..., 2n-1]
+    m = 2 * n - 1
+    c_fft = jnp.fft.fft(col, axis=-1)  # [..., m] complex
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, n - 1), (0, 0)]
+    x_pad = jnp.pad(x, pad)
+    x_fft = jnp.fft.fft(x_pad, axis=-2)  # [..., m, d]
+    y = jnp.fft.ifft(c_fft[..., :, None] * x_fft, axis=-2)
+    return y[..., :n, :].real.astype(x.dtype)
+
+
+def toeplitz_matmul(c, x, method: str = "auto"):
+    """Toeplitz(c) @ x with static path selection.
+
+    Args:
+        c: [..., 2n-1] coefficients.
+        x: [..., n, d] (also accepts [..., n], treated as d=1).
+        method: 'auto' | 'fft' | 'dense'. 'auto' picks dense for
+            n < DENSE_CROSSOVER_N (trace-time static shape), else fft.
+    """
+    squeeze = x.ndim == c.ndim  # vector input [..., n]
+    if squeeze:
+        x = x[..., None]
+    n = x.shape[-2]
+    if c.shape[-1] != 2 * n - 1:
+        raise ValueError(
+            f"coefficient length {c.shape[-1]} != 2n-1={2 * n - 1} for n={n}"
+        )
+    if method == "auto":
+        method = "dense" if n < DENSE_CROSSOVER_N else "fft"
+    if method == "dense":
+        y = toeplitz_matmul_dense(c, x)
+    elif method == "fft":
+        y = toeplitz_matmul_fft(c, x)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return y[..., 0] if squeeze else y
+
+
+def naive_toeplitz_matmul(c, x):
+    """O(n^2) oracle used by tests (reference: fft_utils.py:295-308)."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    n = x.shape[-2]
+    T = toeplitz_from_coeffs(c, n)
+    y = T @ x
+    return y[..., 0] if squeeze else y

@@ -1,0 +1,152 @@
+"""Attention core contracts: softmax oracle, linear attention, KERPLE paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_rpe_vit_tpu.ops import (
+    kerple_linear_attention,
+    linear_attention,
+    orthogonal_gaussian_features,
+    phi_positive,
+    softmax_attention,
+)
+from efficient_rpe_vit_tpu.ops.attention_core import _kerple_dense, _kerple_fft
+
+
+def _qkv(rng, B=2, H=2, N=17, D=16):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return (
+        jax.random.normal(k1, (B, H, N, D)),
+        jax.random.normal(k2, (B, H, N, D)),
+        jax.random.normal(k3, (B, H, N, D)),
+    )
+
+
+def test_softmax_attention_matches_manual(rng):
+    q, k, v = _qkv(rng)
+    scale = q.shape[-1] ** -0.5
+    out = softmax_attention(q, k, v, scale)
+    attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, axis=-1)
+    want = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_softmax_attention_mask(rng):
+    q, k, v = _qkv(rng, B=1, N=5)
+    mask = jnp.ones((1, 5, 5)).at[:, :, -1].set(0)
+    out, attn = softmax_attention(q, k, v, 0.25, mask=mask, return_attention=True)
+    np.testing.assert_allclose(np.asarray(attn[..., -1]), 0.0, atol=1e-7)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_linear_attention_equals_explicit(rng):
+    """Two-einsum O(N) form == explicit normalised phi(q)phi(k)^T attention."""
+    q, k, v = _qkv(rng)
+    omega = orthogonal_gaussian_features(jax.random.fold_in(rng, 7), 2, 16, 44)
+    qp, kp = phi_positive(q * 0.5, omega), phi_positive(k * 0.5, omega)
+    out = linear_attention(qp, kp, v)
+    A = jnp.einsum("bhnf,bhmf->bhnm", qp, kp)
+    want = jnp.einsum("bhnm,bhmd->bhnd", A, v) / (
+        jnp.sum(A, -1, keepdims=True) + 1e-6
+    )
+    # fp32 reassociation noise is amplified by the tiny phi+ denominators
+    # (~3e-4 here); the identity is exact in f64 (diff ~1e-7).
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=5e-2, atol=5e-3)
+
+
+def test_linear_attention_rows_convex(rng):
+    """With positive features, outputs are convex combinations of v rows ->
+    bounded by v's min/max per lane."""
+    q, k, v = _qkv(rng)
+    omega = orthogonal_gaussian_features(jax.random.fold_in(rng, 3), 2, 16, 44)
+    qp, kp = phi_positive(q * 0.3, omega), phi_positive(k * 0.3, omega)
+    out = linear_attention(qp, kp, v)
+    vmax = jnp.max(v, axis=2, keepdims=True)
+    vmin = jnp.min(v, axis=2, keepdims=True)
+    assert bool(jnp.all(out <= vmax + 1e-3))
+    assert bool(jnp.all(out >= vmin - 1e-3))
+
+
+@pytest.fixture
+def kerple_inputs(rng):
+    B, H, N, F, D = 2, 2, 17, 44, 16
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    qp = jnp.abs(jax.random.normal(k1, (B, H, N, F))) * 0.1
+    kp = jnp.abs(jax.random.normal(k2, (B, H, N, F))) * 0.1
+    v = jax.random.normal(k3, (B, H, N, D))
+    coeffs = jnp.exp(jax.random.normal(k4, (H, 2 * N - 1)) * 0.02)
+    return qp, kp, v, coeffs
+
+
+def test_kerple_dense_equals_fft(kerple_inputs):
+    """The masked-matmul path and the reference-style FFT path are the same
+    operator — this is the core identity that removes the [B,H,N,F,D] tensor."""
+    qp, kp, v, coeffs = kerple_inputs
+    out_dense = _kerple_dense(qp, kp, v, coeffs)
+    out_fft = _kerple_fft(qp, kp, v, coeffs, fft_block=16)
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(out_fft), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_kerple_fft_blocking_invariant(kerple_inputs):
+    """Streaming block size must not change the result."""
+    qp, kp, v, coeffs = kerple_inputs
+    a = _kerple_fft(qp, kp, v, coeffs, fft_block=4)
+    b = _kerple_fft(qp, kp, v, coeffs, fft_block=16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_kerple_matches_naive_reference(kerple_inputs):
+    """Against a direct O(N^2 F D) evaluation of Luo et al. Alg. 1."""
+    qp, kp, v, coeffs = kerple_inputs
+    B, H, N, F = qp.shape
+    D = v.shape[-1]
+    idx = (np.arange(N)[None, :] - np.arange(N)[:, None]) + (N - 1)
+    T = np.asarray(coeffs)[:, idx]  # [H, N, N]
+    qp_n, kp_n, v_n = map(np.asarray, (qp, kp, v))
+    num = np.einsum("bhif,hij,bhjf,bhjd->bhid", qp_n, T, kp_n, v_n)
+    den = np.einsum("bhif,hij,bhjf->bhi", qp_n, T, kp_n)
+    want = num / (den[..., None] + 1e-6)
+    got = kerple_linear_attention(qp, kp, v, coeffs, method="auto")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_kerple_identity_coeffs_reduces_to_uniform_bias(kerple_inputs):
+    """All-ones coefficients (b=0) weight every relative position equally ->
+    equals plain linear attention."""
+    qp, kp, v, _ = kerple_inputs
+    H, N = qp.shape[1], qp.shape[2]
+    ones = jnp.ones((H, 2 * N - 1))
+    got = kerple_linear_attention(qp, kp, v, ones)
+    want = linear_attention(qp, kp, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_kerple_gradients(kerple_inputs):
+    qp, kp, v, coeffs = kerple_inputs
+
+    def loss(coeffs, method):
+        return jnp.sum(
+            kerple_linear_attention(qp, kp, v, coeffs, method=method) ** 2
+        )
+
+    for method in ("dense", "fft"):
+        g = jax.grad(loss)(coeffs, method)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+
+def test_kerple_long_sequence_fft_path(rng):
+    """Auto-dispatch uses FFT beyond the crossover; still matches dense."""
+    B, H, N, F, D = 1, 1, 300, 8, 8
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    qp = jnp.abs(jax.random.normal(k1, (B, H, N, F))) * 0.05
+    kp = jnp.abs(jax.random.normal(k2, (B, H, N, F))) * 0.05
+    v = jax.random.normal(k3, (B, H, N, D))
+    coeffs = jnp.exp(jax.random.normal(k4, (H, 2 * N - 1)) * 0.02)
+    got = kerple_linear_attention(qp, kp, v, coeffs, method="auto")
+    want = kerple_linear_attention(qp, kp, v, coeffs, method="dense")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)

@@ -1,0 +1,123 @@
+"""Random-feature map contracts (ports reference test_performer.py:29-121)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_rpe_vit_tpu.ops import (
+    default_num_features,
+    gaussian_features,
+    orthogonal_gaussian_features,
+    phi_positive,
+    phi_relu,
+)
+
+
+def test_default_num_features():
+    # head_dim 16 -> floor(16 * ln 16) = 44 (SURVEY.md §2 anchor)
+    assert default_num_features(16) == 44
+    assert default_num_features(64) == int(64 * math.log(64))
+
+
+def test_orthogonality(rng):
+    """Columns within each d-sized block are orthogonal with norm sqrt(d)
+    (reference: test_performer.py:40-65)."""
+    heads, d, m = 2, 16, 16
+    omega = orthogonal_gaussian_features(rng, heads, d, m)
+    assert omega.shape == (heads, d, m)
+    for h in range(heads):
+        gram = np.asarray(omega[h].T @ omega[h])
+        np.testing.assert_allclose(gram, np.eye(m) * d, atol=1e-3)
+
+
+def test_orthogonality_blockwise(rng):
+    """m > d: each d-column block is internally orthogonal."""
+    heads, d, m = 2, 16, 44
+    omega = orthogonal_gaussian_features(rng, heads, d, m)
+    assert omega.shape == (heads, d, m)
+    blk = np.asarray(omega[0][:, :d])
+    np.testing.assert_allclose(blk.T @ blk, np.eye(d) * d, atol=1e-3)
+
+
+def test_iid_stats(rng):
+    """i.i.d. features are ~N(0,1) (reference: test_performer.py:67-88)."""
+    omega = gaussian_features(rng, 4, 32, 64)
+    assert abs(float(jnp.mean(omega))) < 0.05
+    assert abs(float(jnp.std(omega)) - 1.0) < 0.05
+
+
+def test_phi_positive_is_positive(rng):
+    """phi+ must be strictly positive (reference: test_performer.py:90-121)."""
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (2, 2, 17, 16))
+    omega = orthogonal_gaussian_features(k2, 2, 16, 44)
+    phi = phi_positive(x, omega)
+    assert phi.shape == (2, 2, 17, 44)
+    assert bool(jnp.all(phi > 0))
+    assert bool(jnp.all(jnp.isfinite(phi)))
+
+
+@pytest.mark.parametrize("scale", [10.0, 0.01])
+def test_phi_positive_stability(rng, scale):
+    """No NaN/Inf at +-10x / 0.01x input scale (reference: test_performer.py:177-196)."""
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (2, 2, 17, 16)) * scale
+    omega = orthogonal_gaussian_features(k2, 2, 16, 44)
+    phi = phi_positive(x, omega)
+    assert bool(jnp.all(jnp.isfinite(phi)))
+
+
+def test_phi_relu_nonneg_and_sparse(rng):
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (2, 2, 17, 16))
+    omega = orthogonal_gaussian_features(k2, 2, 16, 44)
+    phi = phi_relu(x, omega)
+    assert phi.shape == (2, 2, 17, 44)
+    assert bool(jnp.all(phi >= 0))
+    # ReLU zeroes roughly half the projections
+    frac_zero = float(jnp.mean(phi == 0))
+    assert 0.2 < frac_zero < 0.8
+
+
+def test_phi_gradients(rng):
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (1, 2, 8, 16))
+    omega = orthogonal_gaussian_features(k2, 2, 16, 32)
+    g = jax.grad(lambda x: jnp.sum(phi_positive(x, omega) ** 2))(x)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_softmax_kernel_approximation(rng):
+    """phi+(q) . phi+(k) is an unbiased estimator of exp(q.k) after undoing
+    the (known, deterministic) max-shift stabilisers:
+
+        phi+(x) = exp(x@W - max(x@W) - ||x||^2/2)/sqrt(m)
+        E[ m * exp(q@w) exp(k@w) ] = exp(||q+k||^2 / 2)
+        => E[phi(q).phi(k)] * exp(Mq + Mk + (||q||^2+||k||^2)/2) = exp(q.k)
+    """
+    d, m = 16, 4096
+    k1, k2, k3 = jax.random.split(rng, 3)
+    # modest input norms: the estimator's relative variance grows like
+    # exp(||q+k||^2)/m, so large inputs need astronomically many features
+    q = jax.random.normal(k1, (1, 1, 4, d)) * 0.5 * (d ** -0.25)
+    k = jax.random.normal(k2, (1, 1, 4, d)) * 0.5 * (d ** -0.25)
+    # i.i.d. features: the unbiasedness proof needs chi-distributed row
+    # norms. (Blockwise-QR orthogonal features as in the reference fix the
+    # norm at sqrt(d) exactly — a known small bias both frameworks share.)
+    omega = gaussian_features(k3, 1, d, m)
+    exact = jnp.exp(jnp.einsum("bhnd,bhmd->bhnm", q, k))
+    phi_q = phi_positive(q, omega)
+    phi_k = phi_positive(k, omega)
+    approx = jnp.einsum("bhnf,bhmf->bhnm", phi_q, phi_k)
+    # undo the stabiliser max-shifts (the ||x||^2/2 terms are part of the
+    # estimator itself: E[phi(q).phi(k)] = exp(-Mq-Mk) exp(q.k))
+    mq = jnp.max(jnp.einsum("bhnd,hdf->bhnf", q, omega), -1)
+    mk = jnp.max(jnp.einsum("bhnd,hdf->bhnf", k, omega), -1)
+    corrected = approx * jnp.exp(mq[..., :, None] + mk[..., None, :])
+    np.testing.assert_allclose(
+        np.asarray(corrected), np.asarray(exact), rtol=0.15
+    )
