@@ -28,7 +28,7 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.mlp_dim, name="fc1",
                      kernel_init=nn.initializers.xavier_uniform())(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # exact erf, matches torch nn.GELU
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(self.dim, name="fc2",
                      kernel_init=nn.initializers.xavier_uniform())(x)
@@ -80,8 +80,8 @@ class TransformerBlock(nn.Module):
             )
         else:
             self.rpe = None
-        self.norm1 = nn.LayerNorm(name="norm1")
-        self.norm2 = nn.LayerNorm(name="norm2")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         self.mlp = Mlp(dim=self.dim, mlp_dim=self.mlp_dim, dropout=self.dropout)
 
     def __call__(self, x, deterministic: bool = True):

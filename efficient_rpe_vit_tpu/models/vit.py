@@ -106,6 +106,6 @@ class ViT(nn.Module):
             )(x, deterministic=deterministic)
 
         cls_out = x[:, 0]
-        cls_out = nn.LayerNorm(name="head_norm")(cls_out)
+        cls_out = nn.LayerNorm(epsilon=1e-5, name="head_norm")(cls_out)
         return nn.Dense(self.num_classes, name="head",
                         kernel_init=nn.initializers.xavier_uniform())(cls_out)

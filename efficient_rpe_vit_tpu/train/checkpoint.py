@@ -1,0 +1,72 @@
+"""Checkpoint save/load: params + optimizer state + metadata.
+
+Same semantics as the reference (experiments/utils/training.py:373-442):
+persist epoch, model/optimizer state, metrics, and model metadata; resume
+continues at epoch+1. Serialisation via flax msgpack (a single portable
+file + a JSON sidecar of metadata), no torch pickle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    epoch: int,
+    metrics: Optional[Dict[str, Any]] = None,
+    metadata: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write `<path>` (msgpack pytree) and `<path>.meta.json`."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "constants": state.constants if state.constants is not None else {},
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    meta = {
+        "epoch": int(epoch),
+        "metrics": metrics or {},
+        "metadata": metadata or {},
+    }
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=2, default=float)
+    return path
+
+
+def load_checkpoint(path: str, state) -> Tuple[Any, Dict[str, Any]]:
+    """Restore into a template TrainState; returns (state, meta dict).
+
+    Resume semantics: caller starts at meta['epoch'] + 1
+    (reference: train.py:227-230).
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "constants": state.constants if state.constants is not None else {},
+    }
+    restored = serialization.from_bytes(template, raw)
+    new_state = state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        constants=restored["constants"] if state.constants is not None else None,
+    )
+    meta_path = path + ".meta.json"
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return new_state, meta

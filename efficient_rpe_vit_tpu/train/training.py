@@ -1,0 +1,295 @@
+"""Training / evaluation / inference-benchmark engine.
+
+Equivalent surface to the reference's experiments/utils/training.py:
+`train_epoch` (:20-104), `evaluate` (:107-207), `benchmark_inference`
+(:210-283), `create_optimizer` (:286-324), `create_lr_scheduler` (:327-370).
+
+TPU-first: the whole optimisation step (forward + backward + optax update +
+metric accumulation) is ONE jitted program; epoch loops stream on-device
+batches from `DeviceDataset` (index-gather only across the host boundary);
+timing uses `jax.block_until_ready` as the synchronisation barrier
+(the TPU analogue of the reference's cuda.synchronize, training.py:244).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal train state pytree: params + opt state + mutable collections."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    constants: Any = None  # non-trainable variables (e.g. omega)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+
+def create_lr_scheduler(
+    scheduler: str,
+    learning_rate: float,
+    epochs: int,
+    steps_per_epoch: int,
+    warmup_epochs: int = 0,
+    step_size: int = 10,
+    gamma: float = 0.1,
+):
+    """LR schedules matching the reference vocabulary
+    (training.py:327-370): cosine | warmup_cosine | step | constant."""
+    total_steps = max(1, epochs * steps_per_epoch)
+    warmup_steps = warmup_epochs * steps_per_epoch
+    if scheduler == "cosine":
+        return optax.cosine_decay_schedule(learning_rate, total_steps)
+    if scheduler == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=max(1, warmup_steps),
+            decay_steps=total_steps,
+        )
+    if scheduler == "step":
+        return optax.exponential_decay(
+            learning_rate,
+            transition_steps=step_size * steps_per_epoch,
+            decay_rate=gamma,
+            staircase=True,
+        )
+    if scheduler in ("constant", "none", None):
+        return optax.constant_schedule(learning_rate)
+    raise ValueError(f"unknown scheduler {scheduler!r}")
+
+
+def create_optimizer(
+    optimizer: str,
+    schedule,
+    weight_decay: float = 0.0,
+    momentum: float = 0.9,
+) -> optax.GradientTransformation:
+    """adam | adamw | sgd(+momentum 0.9) (reference: training.py:286-324)."""
+    if optimizer == "adam":
+        tx = optax.adam(schedule)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        return tx
+    if optimizer == "adamw":
+        return optax.adamw(schedule, weight_decay=weight_decay)
+    if optimizer == "sgd":
+        tx = optax.sgd(schedule, momentum=momentum)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        return tx
+    raise ValueError(f"unknown optimizer {optimizer!r}")
+
+
+def create_train_state(model, config, rng, sample_input,
+                       steps_per_epoch: int = 100) -> TrainState:
+    """Initialise params + optimiser from an ExperimentConfig.
+
+    `steps_per_epoch` sizes the LR schedule horizon (epochs *
+    steps_per_epoch); pass len(train_dataset) so cosine/step schedules
+    span the actual run.
+    """
+    variables = model.init({"params": rng}, sample_input, deterministic=True)
+    params = variables["params"]
+    constants = variables.get("constants")
+    schedule = create_lr_scheduler(
+        config.train.scheduler,
+        config.train.learning_rate,
+        config.train.epochs,
+        steps_per_epoch,
+        config.train.warmup_epochs,
+    )
+    tx = create_optimizer(
+        config.train.optimizer, schedule, config.train.weight_decay
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+        constants=constants,
+    )
+
+
+def cross_entropy_loss(logits, labels):
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+def make_train_step(model) -> Callable:
+    """Build the jitted train step: fwd + bwd + update + metrics, one program."""
+
+    @jax.jit
+    def train_step(state: TrainState, images, labels, dropout_key):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.constants is not None:
+                variables["constants"] = state.constants
+            logits = model.apply(
+                variables, images, deterministic=False,
+                rngs={"dropout": dropout_key},
+            )
+            loss = cross_entropy_loss(logits, labels)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads)
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return new_state, loss, correct
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    @jax.jit
+    def eval_step(state: TrainState, images, labels):
+        variables = {"params": state.params}
+        if state.constants is not None:
+            variables["constants"] = state.constants
+        logits = model.apply(variables, images, deterministic=True)
+        loss = cross_entropy_loss(logits, labels)
+        preds = jnp.argmax(logits, -1)
+        correct = jnp.sum(preds == labels)
+        return loss, correct, preds
+
+    return eval_step
+
+
+def train_epoch(
+    state: TrainState,
+    train_step: Callable,
+    dataset,
+    rng,
+    epoch: int = 0,
+    log_interval_frac: float = 0.02,
+    verbose: bool = True,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """One epoch (reference: training.py:20-104): accumulate loss/accuracy,
+    print progress every ~2% of batches with elapsed time."""
+    t0 = time.perf_counter()
+    n_batches = len(dataset)
+    log_every = max(1, int(n_batches * log_interval_frac))
+    total_loss = 0.0
+    total_correct = 0
+    total_seen = 0
+    for i, (images, labels) in enumerate(dataset):
+        rng, sub = jax.random.split(rng)
+        state, loss, correct = train_step(state, images, labels, sub)
+        total_loss += float(loss) * images.shape[0]
+        total_correct += int(correct)
+        total_seen += images.shape[0]
+        if verbose and (i + 1) % log_every == 0:
+            elapsed = time.perf_counter() - t0
+            print(
+                f"  epoch {epoch} [{i + 1}/{n_batches}] "
+                f"loss {total_loss / total_seen:.4f} "
+                f"acc {100.0 * total_correct / total_seen:.2f}% "
+                f"({elapsed:.1f}s)",
+                flush=True,
+            )
+    jax.block_until_ready(state.params)
+    epoch_time = time.perf_counter() - t0
+    return state, {
+        "loss": total_loss / max(1, total_seen),
+        "accuracy": 100.0 * total_correct / max(1, total_seen),
+        "time": epoch_time,
+        "samples": total_seen,
+    }
+
+
+def evaluate(
+    state: TrainState,
+    eval_step: Callable,
+    dataset,
+    num_classes: Optional[int] = None,
+    detailed: bool = False,
+) -> Dict[str, float]:
+    """Full-split evaluation (reference: training.py:107-207); optionally
+    adds precision/recall/F1 via the native metrics module."""
+    total_loss = 0.0
+    total_correct = 0
+    total_seen = 0
+    all_preds = []
+    all_labels = []
+    for images, labels in dataset:
+        loss, correct, preds = eval_step(state, images, labels)
+        total_loss += float(loss) * images.shape[0]
+        total_correct += int(correct)
+        total_seen += images.shape[0]
+        if detailed:
+            all_preds.append(preds)
+            all_labels.append(labels)
+    out = {
+        "loss": total_loss / max(1, total_seen),
+        "accuracy": 100.0 * total_correct / max(1, total_seen),
+        "samples": total_seen,
+    }
+    if detailed and all_preds:
+        from .metrics import compute_classification_metrics
+
+        preds = jnp.concatenate(all_preds)
+        labels = jnp.concatenate(all_labels)
+        out.update(compute_classification_metrics(preds, labels, num_classes))
+    return out
+
+
+def benchmark_inference(
+    state: TrainState,
+    model,
+    images,
+    num_warmup: int = 10,
+    num_iterations: int = 100,
+) -> Dict[str, float]:
+    """Latency/throughput on one fixed batch: warmup then timed synchronized
+    iterations (reference: training.py:210-283; block_until_ready is the TPU
+    synchronize)."""
+    variables = {"params": state.params}
+    if state.constants is not None:
+        variables["constants"] = state.constants
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x, deterministic=True)
+
+    for _ in range(num_warmup):
+        out = fwd(variables, images)
+    jax.block_until_ready(out)
+
+    latencies = []
+    for _ in range(num_iterations):
+        t0 = time.perf_counter()
+        out = fwd(variables, images)
+        jax.block_until_ready(out)
+        latencies.append(time.perf_counter() - t0)
+
+    lat = jnp.asarray(latencies)
+    batch = images.shape[0]
+    total = float(jnp.sum(lat))
+    return {
+        "throughput_images_per_sec": batch * num_iterations / total,
+        "latency_mean_ms": float(jnp.mean(lat)) * 1e3,
+        "latency_std_ms": float(jnp.std(lat)) * 1e3,
+        "latency_min_ms": float(jnp.min(lat)) * 1e3,
+        "latency_max_ms": float(jnp.max(lat)) * 1e3,
+        "latency_p50_ms": float(jnp.percentile(lat, 50)) * 1e3,
+        "latency_ms_per_sample": float(jnp.mean(lat)) * 1e3 / batch,
+        "batch_size": batch,
+        "num_iterations": num_iterations,
+    }

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Multi-model multi-seed benchmark orchestrator.
+
+Equivalent surface to the reference's experiments/benchmark.py (:48-377):
+sweep (model x seed), aggregate statistics, `--skip-existing` resume,
+per-run error isolation, summary table, `benchmark_config.json` with argv.
+
+TPU-first difference: runs execute **in-process** (one interpreter, shared
+compile cache across seeds of the same model) instead of the reference's
+per-run `subprocess` of train.py (:155-225, a process boundary + fresh
+interpreter per run, which on TPU would pay device init + recompilation
+every time). `--subprocess` restores the reference's isolation semantics if
+a run must not share state.
+
+Usage:
+    python experiments/benchmark.py --models baseline performer_favor \
+        --dataset mnist --num-runs 3 --epochs 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Benchmark ViT variants")
+    p.add_argument("--models", type=str, nargs="+", required=True)
+    p.add_argument("--dataset", type=str, default="mnist",
+                   choices=["mnist", "cifar10"])
+    p.add_argument("--num-runs", type=int, default=3)
+    p.add_argument("--seeds", type=int, nargs="*", default=None,
+                   help="explicit seeds; default 42+111*i")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--output-dir", type=str, default=None,
+                   help="default results/benchmark_{dataset}_{timestamp}")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="resume a partially completed benchmark")
+    p.add_argument("--subprocess", action="store_true",
+                   help="run each (model, seed) in a fresh interpreter")
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def setup_benchmark_directory(args) -> str:
+    """results/benchmark_{ds}_{ts} (reference: benchmark.py:133-152)."""
+    if args.output_dir:
+        out = args.output_dir
+    else:
+        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+        out = os.path.join("results", f"benchmark_{args.dataset}_{ts}")
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
+def run_single_training(model: str, seed: int, run_dir: str, args):
+    """One (model, seed) run -> metrics dict. In-process by default;
+    `--subprocess` matches the reference's process-per-run isolation."""
+    from efficient_rpe_vit_tpu.train.benchmark_utils import load_run_metrics
+
+    metrics_path = os.path.join(
+        run_dir, f"{model}_{args.dataset}_metrics.json"
+    )
+    cli = [
+        "--model", model, "--dataset", args.dataset,
+        "--seed", str(seed), "--output-dir", run_dir, "--quiet",
+    ]
+    if args.epochs is not None:
+        cli += ["--epochs", str(args.epochs)]
+    if args.batch_size is not None:
+        cli += ["--batch-size", str(args.batch_size)]
+
+    if args.subprocess:
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "train.py")
+        result = subprocess.run([sys.executable, script] + cli,
+                                capture_output=True, text=True)
+        if result.returncode != 0:
+            raise RuntimeError(
+                f"train.py failed (rc={result.returncode}):\n{result.stderr[-2000:]}"
+            )
+        return load_run_metrics(metrics_path)
+    from experiments.train import main as train_main
+
+    return train_main(cli)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from efficient_rpe_vit_tpu.models import MODEL_VARIANTS
+    from efficient_rpe_vit_tpu.train.benchmark_utils import (
+        compute_aggregated_statistics,
+        load_run_metrics,
+        print_model_summary,
+        save_benchmark_config,
+        save_run_metrics,
+    )
+
+    for m in args.models:
+        if m not in MODEL_VARIANTS:
+            raise SystemExit(
+                f"Unknown model {m!r}. Available: {sorted(MODEL_VARIANTS)}"
+            )
+
+    seeds = (
+        args.seeds
+        if args.seeds
+        else [42 + 111 * i for i in range(args.num_runs)]  # reference :123-125
+    )
+    out_dir = setup_benchmark_directory(args)
+    save_benchmark_config(out_dir, {
+        "models": args.models, "dataset": args.dataset, "seeds": seeds,
+        "epochs": args.epochs, "batch_size": args.batch_size,
+        "timestamp": datetime.now().isoformat(),
+    })
+    print(f"Benchmark -> {out_dir} (models={args.models}, seeds={seeds})")
+
+    summary = {}
+    for model in args.models:
+        model_dir = os.path.join(out_dir, model)
+        runs = []
+        for run_idx, seed in enumerate(seeds):
+            run_dir = os.path.join(model_dir, f"run_{run_idx}_seed_{seed}")
+            metrics_path = os.path.join(
+                run_dir, f"{model}_{args.dataset}_metrics.json"
+            )
+            if args.skip_existing:
+                existing = load_run_metrics(metrics_path)
+                if existing is not None:
+                    print(f"[skip-existing] {model} seed {seed}")
+                    runs.append(existing)
+                    continue
+            t0 = time.perf_counter()
+            try:
+                metrics = run_single_training(model, seed, run_dir, args)
+            except Exception as e:  # per-run isolation (reference :312-317)
+                print(f"[ERROR] {model} seed {seed}: {e}")
+                continue
+            dt = time.perf_counter() - t0
+            print(f"{model} seed {seed}: "
+                  f"acc {metrics['aggregate']['final_test_accuracy']:.2f}% "
+                  f"({dt:.0f}s)")
+            runs.append(metrics)
+
+        flat_runs = [
+            {
+                "test_accuracy": r["aggregate"]["final_test_accuracy"],
+                "best_test_accuracy": r["aggregate"]["best_test_accuracy"],
+                "test_loss": r["aggregate"]["final_test_loss"],
+                "train_time": r["aggregate"]["total_train_time"],
+                "throughput_images_per_sec":
+                    r["inference"]["throughput_images_per_sec"],
+                "latency_mean_ms": r["inference"]["latency_mean_ms"],
+            }
+            for r in runs
+        ]
+        agg = compute_aggregated_statistics(flat_runs)
+        save_run_metrics(os.path.join(model_dir, "aggregated_stats.json"), agg)
+        summary[model] = agg
+        if not args.quiet:
+            print_model_summary(model, agg)
+
+    # summary table (reference: benchmark.py:349-377)
+    print("\n===== SUMMARY =====")
+    header = f"{'model':<36} {'test acc':<16} {'img/s':<12} {'train s':<10}"
+    print(header)
+    print("-" * len(header))
+    for model, agg in summary.items():
+        acc = agg.get("test_accuracy") or {}
+        thr = agg.get("throughput_images_per_sec") or {}
+        tt = agg.get("train_time") or {}
+        print(f"{model:<36} "
+              f"{acc.get('mean', float('nan')):6.2f}±{acc.get('std', 0):<7.2f} "
+              f"{thr.get('mean', float('nan')):<12.1f} "
+              f"{tt.get('mean', float('nan')):<10.1f}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Single-run training CLI.
+
+Equivalent surface to the reference's experiments/train.py (argparse flags
+:38-117, pipeline :132-441): train any variant on MNIST/CIFAR-10, emit a
+`{model}_{dataset}_metrics.json` with metadata/per_epoch/aggregate/inference
+sections (schema-compatible with the reference's dashboard), optional
+curve PNGs, best-accuracy checkpointing, and --resume.
+
+Usage:
+    python experiments/train.py --model performer_favor_most_general \
+        --dataset mnist --epochs 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a ViT variant (TPU-native)")
+    p.add_argument("--model", type=str, default="baseline",
+                   help="model variant name (see list_available_models)")
+    p.add_argument("--dataset", type=str, default="mnist",
+                   choices=["mnist", "cifar10"])
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr", "--learning-rate", dest="learning_rate",
+                   type=float, default=None)
+    p.add_argument("--weight-decay", type=float, default=None)
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--optimizer", type=str, default=None,
+                   choices=["adam", "adamw", "sgd"])
+    p.add_argument("--scheduler", type=str, default=None,
+                   choices=["cosine", "warmup_cosine", "step", "constant"])
+    p.add_argument("--warmup-epochs", type=int, default=None)
+    p.add_argument("--augmentation", action="store_true", default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU backend (debug)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save-model", action="store_true")
+    p.add_argument("--save-metrics", action="store_true", default=True)
+    p.add_argument("--save-plots", action="store_true")
+    p.add_argument("--output-dir", type=str, default="results")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path to resume from")
+    p.add_argument("--log-interval", type=float, default=0.02,
+                   help="progress print interval as a fraction of batches")
+    p.add_argument("--eval-detailed", action="store_true",
+                   help="compute precision/recall/F1 at final eval")
+    p.add_argument("--bench-warmup", type=int, default=10)
+    p.add_argument("--bench-iters", type=int, default=100)
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from efficient_rpe_vit_tpu.configs import get_dataset_config
+    from efficient_rpe_vit_tpu.data import get_dataloaders
+    from efficient_rpe_vit_tpu.models import create_model, get_model_info
+    from efficient_rpe_vit_tpu.models.factory import count_parameters
+    from efficient_rpe_vit_tpu.train import (
+        benchmark_inference,
+        create_train_state,
+        evaluate,
+        load_checkpoint,
+        make_eval_step,
+        make_train_step,
+        save_checkpoint,
+        set_random_seeds,
+        train_epoch,
+    )
+    from efficient_rpe_vit_tpu.train.benchmark_utils import save_run_metrics
+
+    set_random_seeds(args.seed)
+    config = get_dataset_config(
+        args.dataset,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        dropout=args.dropout,
+        optimizer=args.optimizer,
+        scheduler=args.scheduler,
+        warmup_epochs=args.warmup_epochs,
+        augmentation=args.augmentation,
+        seed=args.seed,
+    )
+
+    info = get_model_info(args.model) if args.model in __import__(
+        "efficient_rpe_vit_tpu.models", fromlist=["MODEL_VARIANTS"]
+    ).MODEL_VARIANTS else {"name": args.model}
+    if not args.quiet:
+        print(f"Model: {args.model} {info}")
+        print(f"Backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    train_ds, test_ds = get_dataloaders(config, seed=args.seed)
+    if not args.quiet:
+        print(f"Data: {train_ds.num_samples} train / {test_ds.num_samples} test")
+
+    model = create_model(args.model, config)
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_key = jax.random.split(rng)
+    m = config.model
+    sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
+    state = create_train_state(model, config, init_key, sample,
+                               steps_per_epoch=len(train_ds))
+    n_params = count_parameters(state.params)
+    if not args.quiet:
+        print(f"Parameters: {n_params['total']:,}")
+
+    start_epoch = 1
+    if args.resume:
+        state, meta = load_checkpoint(args.resume, state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        if not args.quiet:
+            print(f"Resumed from {args.resume} at epoch {start_epoch}")
+
+    train_step = make_train_step(model)
+    eval_step = make_eval_step(model)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    ckpt_path = os.path.join(
+        args.output_dir, f"{args.model}_{args.dataset}_best.msgpack"
+    )
+
+    per_epoch = []
+    best_acc = -1.0
+    t_train0 = time.perf_counter()
+    for epoch in range(start_epoch, config.train.epochs + 1):
+        rng, epoch_key = jax.random.split(rng)
+        state, tm = train_epoch(
+            state, train_step, train_ds, epoch_key, epoch=epoch,
+            log_interval_frac=args.log_interval, verbose=not args.quiet,
+        )
+        em = evaluate(state, eval_step, test_ds)
+        per_epoch.append({
+            "epoch": epoch,
+            "train_loss": tm["loss"],
+            "train_accuracy": tm["accuracy"],
+            "test_loss": em["loss"],
+            "test_accuracy": em["accuracy"],
+            "epoch_time": tm["time"],
+        })
+        if not args.quiet:
+            print(f"epoch {epoch}: train {tm['accuracy']:.2f}% "
+                  f"test {em['accuracy']:.2f}% ({tm['time']:.1f}s)")
+        if em["accuracy"] > best_acc:
+            best_acc = em["accuracy"]
+            if args.save_model:
+                save_checkpoint(
+                    ckpt_path, state, epoch,
+                    metrics={"test_accuracy": em["accuracy"]},
+                    metadata={"model_name": args.model,
+                              "dataset": args.dataset,
+                              "attention_type": model.attention_type,
+                              "rpe_type": model.rpe_type},
+                )
+    total_train_time = time.perf_counter() - t_train0
+
+    final_eval = evaluate(state, eval_step, test_ds,
+                          num_classes=m.num_classes,
+                          detailed=args.eval_detailed)
+
+    bench_images, _ = next(iter(test_ds))
+    inference = benchmark_inference(
+        state, model, bench_images,
+        num_warmup=args.bench_warmup, num_iterations=args.bench_iters,
+    )
+    if not args.quiet:
+        print(f"Inference: {inference['throughput_images_per_sec']:.1f} img/s, "
+              f"{inference['latency_mean_ms']:.2f} ms/batch")
+
+    metrics = {
+        "metadata": {
+            "model_name": args.model,
+            "dataset": args.dataset,
+            "attention_type": model.attention_type,
+            "rpe_type": model.rpe_type,
+            "seed": args.seed,
+            "num_parameters": n_params["total"],
+            "backend": jax.default_backend(),
+            "config": {k: v for k, v in config.to_dict().items()
+                       if isinstance(v, (int, float, str, bool, tuple, list))},
+        },
+        "per_epoch": per_epoch,
+        "aggregate": {
+            "best_test_accuracy": best_acc,
+            "final_test_accuracy": final_eval["accuracy"],
+            "final_test_loss": final_eval["loss"],
+            "final_train_accuracy": per_epoch[-1]["train_accuracy"] if per_epoch else None,
+            "final_train_loss": per_epoch[-1]["train_loss"] if per_epoch else None,
+            "total_train_time": total_train_time,
+            **({k: final_eval[k] for k in
+                ("precision_weighted", "recall_weighted", "f1_weighted",
+                 "f1_macro") if k in final_eval}),
+        },
+        "inference": inference,
+    }
+    if args.save_metrics:
+        path = os.path.join(
+            args.output_dir, f"{args.model}_{args.dataset}_metrics.json"
+        )
+        save_run_metrics(path, metrics)
+        if not args.quiet:
+            print(f"Metrics written to {path}")
+
+    if args.save_plots and per_epoch:
+        _save_plots(per_epoch, args)
+
+    return metrics
+
+
+def _save_plots(per_epoch, args):
+    """Loss/accuracy curve PNGs (reference: train.py:403-437)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    epochs = [e["epoch"] for e in per_epoch]
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4))
+    axes[0].plot(epochs, [e["train_loss"] for e in per_epoch], label="train")
+    axes[0].plot(epochs, [e["test_loss"] for e in per_epoch], label="test")
+    axes[0].set_title("Loss"); axes[0].set_xlabel("epoch"); axes[0].legend()
+    axes[1].plot(epochs, [e["train_accuracy"] for e in per_epoch], label="train")
+    axes[1].plot(epochs, [e["test_accuracy"] for e in per_epoch], label="test")
+    axes[1].set_title("Accuracy (%)"); axes[1].set_xlabel("epoch"); axes[1].legend()
+    fig.suptitle(f"{args.model} on {args.dataset}")
+    out = os.path.join(args.output_dir,
+                       f"{args.model}_{args.dataset}_curves.png")
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    print(f"Curves written to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Training engine contracts: optimisers, schedulers, train/eval loops,
+checkpoint round-trip, metrics, convergence/aggregation utilities.
+
+Ports the reference's TestTrainingStability (test_kerple.py:341-411): real
+optimizer steps on dummy data with finite losses.
+"""
+
+import os
+import tempfile
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_rpe_vit_tpu.configs import mnist_config
+from efficient_rpe_vit_tpu.data import DeviceDataset
+from efficient_rpe_vit_tpu.models import create_model
+from efficient_rpe_vit_tpu.train import (
+    benchmark_inference,
+    compute_aggregated_statistics,
+    compute_classification_metrics,
+    compute_confusion_matrix,
+    compute_convergence_metrics,
+    create_lr_scheduler,
+    create_optimizer,
+    create_train_state,
+    evaluate,
+    load_checkpoint,
+    make_eval_step,
+    make_train_step,
+    save_checkpoint,
+    train_epoch,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = mnist_config()
+    model = create_model("performer_favor_most_general", cfg)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 28, 28, 1))
+    state = create_train_state(model, cfg, rng, sample)
+    return cfg, model, state
+
+
+def _dummy_dataset(n=64, bs=16, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = rng.integers(0, 256, (n, 28, 28, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, n)
+    return DeviceDataset(imgs, labels, (0.1307,), (0.3081,), bs,
+                         shuffle=True, drop_last=True, seed=seed)
+
+
+def test_schedulers():
+    for name in ("cosine", "warmup_cosine", "step", "constant"):
+        sched = create_lr_scheduler(name, 1e-3, epochs=5, steps_per_epoch=10,
+                                    warmup_epochs=1)
+        v0 = float(sched(0))
+        v_end = float(sched(49))
+        assert np.isfinite(v0) and np.isfinite(v_end)
+    # warmup starts near zero and peaks at lr
+    sched = create_lr_scheduler("warmup_cosine", 1e-3, 5, 10, warmup_epochs=2)
+    assert float(sched(0)) < 1e-4
+    assert abs(float(sched(20)) - 1e-3) < 1e-4
+    with pytest.raises(ValueError):
+        create_lr_scheduler("bogus", 1e-3, 1, 1)
+
+
+def test_optimizers():
+    import optax
+
+    sched = optax.constant_schedule(1e-3)
+    for name in ("adam", "adamw", "sgd"):
+        tx = create_optimizer(name, sched, weight_decay=0.01)
+        params = {"w": jnp.ones((3,))}
+        opt_state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones((3,))}, opt_state, params)
+        assert bool(jnp.all(jnp.isfinite(updates["w"])))
+    with pytest.raises(ValueError):
+        create_optimizer("bogus", sched)
+
+
+def test_train_steps_finite_losses(setup):
+    """10 optimisation steps, all losses finite and < 100
+    (reference: test_kerple.py:380-411)."""
+    cfg, model, state = setup
+    train_step = make_train_step(model)
+    ds = _dummy_dataset()
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for images, labels in ds:
+        rng, sub = jax.random.split(rng)
+        state, loss, _ = train_step(state, images, labels, sub)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) and l < 100 for l in losses)
+    assert int(state.step) == len(losses)
+
+
+def test_train_epoch_and_evaluate(setup):
+    cfg, model, state = setup
+    train_step = make_train_step(model)
+    eval_step = make_eval_step(model)
+    ds = _dummy_dataset()
+    state, train_metrics = train_epoch(
+        state, train_step, ds, jax.random.PRNGKey(2), verbose=False
+    )
+    assert {"loss", "accuracy", "time", "samples"} <= set(train_metrics)
+    assert train_metrics["samples"] == 64
+    eval_metrics = evaluate(state, eval_step, ds, num_classes=10, detailed=True)
+    assert 0 <= eval_metrics["accuracy"] <= 100
+    assert "f1_macro" in eval_metrics
+    assert "confusion_matrix" in eval_metrics
+
+
+def test_model_learns_synthetic(setup):
+    """Training reduces loss on learnable synthetic data — the end-to-end
+    integration gate."""
+    cfg, model, _ = setup
+    from efficient_rpe_vit_tpu.data.datasets import _synthetic
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        raw = _synthetic(512, 128, 28, 1, seed=3)
+    ds = DeviceDataset(raw["train_images"], raw["train_labels"],
+                       (0.5,), (0.5,), 64, shuffle=True, drop_last=True, seed=3)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(3),
+                               jnp.zeros((2, 28, 28, 1)))
+    train_step = make_train_step(model)
+    rng = jax.random.PRNGKey(4)
+    first = last = None
+    for epoch in range(3):
+        state, m = train_epoch(state, train_step, ds, rng, verbose=False)
+        if first is None:
+            first = m["loss"]
+        last = m["loss"]
+    assert last < first * 0.9, f"no learning: first {first} last {last}"
+
+
+def test_checkpoint_roundtrip(setup):
+    cfg, model, state = setup
+    train_step = make_train_step(model)
+    ds = _dummy_dataset(n=32)
+    rng = jax.random.PRNGKey(5)
+    for images, labels in ds:
+        rng, sub = jax.random.split(rng)
+        state, _, _ = train_step(state, images, labels, sub)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.msgpack")
+        save_checkpoint(path, state, epoch=3,
+                        metrics={"test_accuracy": 91.0},
+                        metadata={"model_name": "performer_favor_most_general"})
+        fresh = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   jnp.zeros((2, 28, 28, 1)))
+        restored, meta = load_checkpoint(path, fresh)
+        assert meta["epoch"] == 3
+        assert meta["metrics"]["test_accuracy"] == 91.0
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        )
+        assert int(restored.step) == int(state.step)
+
+
+def test_benchmark_inference(setup):
+    cfg, model, state = setup
+    images = jnp.zeros((8, 28, 28, 1))
+    res = benchmark_inference(state, model, images, num_warmup=2,
+                              num_iterations=5)
+    assert res["throughput_images_per_sec"] > 0
+    assert res["latency_mean_ms"] > 0
+    assert res["batch_size"] == 8
+    assert {"latency_p50_ms", "latency_std_ms", "latency_min_ms",
+            "latency_max_ms"} <= set(res)
+
+
+def test_confusion_matrix():
+    preds = jnp.array([0, 1, 2, 2, 1])
+    targets = jnp.array([0, 1, 1, 2, 1])
+    cm = np.asarray(compute_confusion_matrix(preds, targets, 3))
+    want = np.array([[1, 0, 0], [0, 2, 1], [0, 0, 1]])
+    np.testing.assert_array_equal(cm, want)
+
+
+def test_classification_metrics_perfect():
+    y = jnp.arange(10) % 3
+    m = compute_classification_metrics(y, y, 3)
+    assert m["accuracy"] == pytest.approx(1.0, abs=1e-5)
+    assert m["f1_macro"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_metrics_match_manual():
+    rng = np.random.default_rng(0)
+    targets = rng.integers(0, 4, 200)
+    preds = rng.integers(0, 4, 200)
+    m = compute_classification_metrics(jnp.asarray(preds), jnp.asarray(targets), 4)
+    acc = (preds == targets).mean()
+    assert m["accuracy"] == pytest.approx(acc, abs=1e-6)
+    # micro P/R/F1 == accuracy for single-label classification
+    assert m["f1_micro"] == pytest.approx(acc, abs=1e-4)
+
+
+def test_convergence_metrics():
+    accs = [50.0, 85.0, 91.0, 95.5, 95.55, 95.5, 95.52]
+    c = compute_convergence_metrics(accs)
+    assert c["epochs_to_90"] == 3
+    assert c["epochs_to_95"] == 4
+    assert c["epochs_to_99"] is None
+    assert c["plateau_epoch"] == 4  # window [95.5, 95.55, 95.5]
+    assert c["best_accuracy"] == 95.55
+
+
+def test_aggregated_statistics():
+    runs = [
+        {"test_accuracy": 94.0, "train_time": 100.0},
+        {"test_accuracy": 95.0, "train_time": 110.0},
+        {"test_accuracy": 96.0, "train_time": None},
+    ]
+    agg = compute_aggregated_statistics(runs)
+    assert agg["num_runs"] == 3
+    assert agg["test_accuracy"]["mean"] == pytest.approx(95.0)
+    assert agg["test_accuracy"]["std"] == pytest.approx(1.0)
+    assert agg["train_time"]["values"] == [100.0, 110.0]
