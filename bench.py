@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark: KERPLE training throughput (images/sec/chip).
+
+Replicates the reference's benchmarked configuration
+(docs/KERPLE_DOCUMENTATION.md:160-165): FAVOR+ + KERPLE on MNIST-shaped
+inputs at sequence length 197 (28x28, patch 2 -> 196 patches + CLS),
+batch 256 — where the reference reports 500-800 images/sec on a single GPU.
+
+Measures the full jitted training step (forward + backward + optimizer) and
+prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is against the reference's midpoint (650 img/s).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMAGES_PER_SEC = 650.0  # reference midpoint of 500-800 img/s
+BATCH = 256
+WARMUP_STEPS = 5
+TIMED_STEPS = 30
+
+
+def main():
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.train import create_train_state, make_train_step
+
+    # reference benchmark conditions: seq len 196 patches -> patch_size 2
+    cfg = mnist_config(patch_size=2, batch_size=BATCH)
+    model = create_model("performer_favor_most_general", cfg)
+    rng = jax.random.PRNGKey(0)
+    m = cfg.model
+    sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
+    state = create_train_state(model, cfg, rng, sample, steps_per_epoch=100)
+    train_step = make_train_step(model)
+
+    images = jax.random.normal(rng, (BATCH, m.image_size, m.image_size,
+                                     m.in_channels))
+    labels = jnp.arange(BATCH) % m.num_classes
+
+    key = rng
+    for _ in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        state, loss, _ = train_step(state, images, labels, sub)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        key, sub = jax.random.split(key)
+        state, loss, _ = train_step(state, images, labels, sub)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - t0
+
+    images_per_sec = BATCH * TIMED_STEPS / elapsed
+    print(json.dumps({
+        "metric": "kerple_train_throughput_seq197_bs256",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

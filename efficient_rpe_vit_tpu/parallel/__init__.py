@@ -1,0 +1,16 @@
+from .mesh import make_mesh, make_param_specs, shard_pytree, batch_spec
+from .train_parallel import (
+    make_parallel_train_step,
+    create_sharded_train_state,
+    parallel_train_epoch,
+)
+
+__all__ = [
+    "make_mesh",
+    "make_param_specs",
+    "shard_pytree",
+    "batch_spec",
+    "make_parallel_train_step",
+    "create_sharded_train_state",
+    "parallel_train_epoch",
+]

@@ -1,0 +1,171 @@
+"""Sharded (data x model)-parallel training step.
+
+jit-over-Mesh with explicit in/out shardings: the batch is split across the
+'data' axis, parameters/optimizer state follow `make_param_specs` (replicated
+across 'data', head/hidden-split across 'model'), and XLA inserts the
+gradient all-reduce over 'data' plus the Megatron-style per-block collectives
+over 'model' from the annotations alone — no hand-written psum.
+
+This is the TPU-native equivalent of what NCCL DDP (+ megatron TP) would
+have been in the reference had it scaled past one device (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.training import TrainState, cross_entropy_loss, create_train_state
+from .mesh import batch_spec, make_param_specs, shard_pytree
+
+
+def _state_specs(state: TrainState, mesh: Mesh):
+    """PartitionSpec tree matching a TrainState."""
+    param_specs = make_param_specs(state.params, mesh)
+
+    def opt_spec(x):
+        # optimizer moments mirror the param tree shape-for-shape where
+        # possible; scalars and counters are replicated
+        return P()
+
+    # optax states are pytrees containing param-shaped moments; map any leaf
+    # that exactly matches a param shape to that param's spec, else replicate.
+    param_leaves = jax.tree_util.tree_leaves_with_path(state.params)
+    shape_to_spec = {}
+    spec_leaves = jax.tree_util.tree_leaves(param_specs)
+    for (path, leaf), spec in zip(param_leaves, spec_leaves):
+        shape_to_spec.setdefault(leaf.shape, spec)
+
+    def opt_leaf_spec(x):
+        if hasattr(x, "shape") and x.shape in shape_to_spec and x.ndim > 0:
+            return shape_to_spec[x.shape]
+        return P()
+
+    opt_specs = jax.tree_util.tree_map(opt_leaf_spec, state.opt_state)
+    const_specs = (
+        jax.tree_util.tree_map(lambda x: P(), state.constants)
+        if state.constants is not None
+        else None
+    )
+    return state.replace(
+        step=P(),
+        params=param_specs,
+        opt_state=opt_specs,
+        constants=const_specs,
+    )
+
+
+def create_sharded_train_state(
+    model, config, rng, sample_input, mesh: Mesh, steps_per_epoch: int = 100
+) -> Tuple[TrainState, TrainState]:
+    """Initialise a TrainState and place it on the mesh.
+
+    Returns (state, state_specs) where specs is the PartitionSpec pytree
+    used for the jitted step's in/out shardings.
+    """
+    state = create_train_state(
+        model, config, rng, sample_input, steps_per_epoch=steps_per_epoch
+    )
+    specs = _state_specs(state, mesh)
+
+    def put(x, s):
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    state = state.replace(
+        step=put(state.step, P()),
+        params=jax.tree_util.tree_map(put, state.params, specs.params),
+        opt_state=jax.tree_util.tree_map(put, state.opt_state, specs.opt_state),
+        constants=(
+            jax.tree_util.tree_map(put, state.constants, specs.constants)
+            if state.constants is not None
+            else None
+        ),
+    )
+    return state, specs
+
+
+def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
+                             donate: bool = True) -> Callable:
+    """Build the sharded jitted train step.
+
+    Signature: (state, images [B_global, H, W, C], labels [B_global],
+    dropout_key) -> (state, loss, correct). B_global must divide by the
+    'data' axis size.
+    """
+    data_sharding = NamedSharding(mesh, batch_spec())
+    repl = NamedSharding(mesh, P())
+
+    def to_shardings(spec_tree):
+        return jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), spec_tree,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    state_shardings = TrainState(
+        step=repl,
+        params=to_shardings(specs.params),
+        opt_state=to_shardings(specs.opt_state),
+        tx=specs.tx,
+        constants=(
+            to_shardings(specs.constants) if specs.constants is not None else None
+        ),
+    )
+
+    def step_fn(state: TrainState, images, labels, dropout_key):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.constants is not None:
+                variables["constants"] = state.constants
+            logits = model.apply(
+                variables, images, deterministic=False,
+                rngs={"dropout": dropout_key},
+            )
+            return cross_entropy_loss(logits, labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads)
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return new_state, loss, correct
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, data_sharding, data_sharding, repl),
+        out_shardings=(state_shardings, repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def parallel_train_epoch(
+    state: TrainState,
+    train_step: Callable,
+    dataset,
+    rng,
+    mesh: Mesh,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """One epoch with the sharded step; dataset batches are placed with the
+    batch sharding so each device reads only its shard."""
+    import time
+
+    data_sharding = NamedSharding(mesh, batch_spec())
+    t0 = time.perf_counter()
+    total_loss, total_correct, total_seen = 0.0, 0, 0
+    for images, labels in dataset:
+        rng, sub = jax.random.split(rng)
+        images = jax.device_put(images, data_sharding)
+        labels = jax.device_put(labels, data_sharding)
+        state, loss, correct = train_step(state, images, labels, sub)
+        total_loss += float(loss) * images.shape[0]
+        total_correct += int(correct)
+        total_seen += images.shape[0]
+    jax.block_until_ready(state.params)
+    return state, {
+        "loss": total_loss / max(1, total_seen),
+        "accuracy": 100.0 * total_correct / max(1, total_seen),
+        "time": time.perf_counter() - t0,
+        "samples": total_seen,
+    }
