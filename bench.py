@@ -33,8 +33,12 @@ def main():
     from efficient_rpe_vit_tpu.models import create_model
     from efficient_rpe_vit_tpu.train import create_train_state, make_train_step
 
-    # reference benchmark conditions: seq len 196 patches -> patch_size 2
-    cfg = mnist_config(patch_size=2, batch_size=BATCH)
+    # reference benchmark conditions: seq len 196 patches -> patch_size 2.
+    # bfloat16 compute (fp32 params/accumulation) is the TPU-native policy:
+    # measured 1.4-4.4x over fp32 on v5e, still trains to the same accuracy
+    # (tests/test_bf16.py).
+    cfg = mnist_config(patch_size=2, batch_size=BATCH,
+                       compute_dtype="bfloat16")
     model = create_model("performer_favor_most_general", cfg)
     rng = jax.random.PRNGKey(0)
     m = cfg.model

@@ -34,7 +34,7 @@ from ..ops import (
     phi_relu,
     softmax_attention,
 )
-from .rpe import CirculantStringRPE, KerpleRPE, RoPE
+from .rpe import CirculantStringRPE, KerpleRPE, RoPE, RoPE2D
 
 
 def _split_heads(x, heads: int):
@@ -56,6 +56,7 @@ class SoftmaxAttention(nn.Module):
     heads: int
     dropout: float = 0.0
     qkv_bias: bool = False
+    dtype: str = "float32"
 
     @property
     def head_dim(self) -> int:
@@ -73,11 +74,12 @@ class SoftmaxAttention(nn.Module):
                 "attention, use RoPE or Circulant-STRING RPE instead."
             )
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv",
+                       dtype=jnp.dtype(self.dtype),
                        kernel_init=nn.initializers.xavier_uniform())(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))
 
-        if isinstance(rpe, RoPE):
+        if isinstance(rpe, (RoPE, RoPE2D)):
             q, k = rpe.apply_rotary(q, k)
         elif isinstance(rpe, CirculantStringRPE):
             q, k = rpe.rotate(q, k)
@@ -91,7 +93,7 @@ class SoftmaxAttention(nn.Module):
         if return_attention:
             out, attn_weights = out
         out = _merge_heads(out)
-        out = nn.Dense(self.dim, name="proj",
+        out = nn.Dense(self.dim, name="proj", dtype=jnp.dtype(self.dtype),
                        kernel_init=nn.initializers.xavier_uniform())(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         if return_attention:
@@ -110,6 +112,7 @@ class _KernelAttention(nn.Module):
     use_orthogonal: bool = True
     feature_redraw_interval: Optional[int] = None
     qkv_bias: bool = False
+    dtype: str = "float32"
 
     feature_kind: str = "favor_plus"  # overridden by subclasses
 
@@ -145,6 +148,7 @@ class _KernelAttention(nn.Module):
                 "computation."
             )
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv",
+                       dtype=jnp.dtype(self.dtype),
                        kernel_init=nn.initializers.xavier_uniform())(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))
@@ -179,7 +183,7 @@ class _KernelAttention(nn.Module):
         # Static RPE dispatch (trace-time; no runtime branching in XLA).
         scale = self.head_dim ** -0.25  # d^-1/4 on both q and k
         use_kerple = isinstance(rpe, KerpleRPE)
-        if isinstance(rpe, RoPE):
+        if isinstance(rpe, (RoPE, RoPE2D)):
             q, k = rpe.apply_rotary(q, k)
             q, k = q * scale, k * scale
         elif isinstance(rpe, CirculantStringRPE):
@@ -201,7 +205,7 @@ class _KernelAttention(nn.Module):
             out = linear_attention(q_prime, k_prime, v)
 
         out = _merge_heads(out)
-        out = nn.Dense(self.dim, name="proj",
+        out = nn.Dense(self.dim, name="proj", dtype=jnp.dtype(self.dtype),
                        kernel_init=nn.initializers.xavier_uniform())(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return out

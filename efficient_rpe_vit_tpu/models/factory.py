@@ -43,21 +43,24 @@ MODEL_VARIANTS: Dict[str, Tuple[str, Optional[str]]] = {
 def _resolve_variant(model_name: str) -> Tuple[str, Optional[str]]:
     if model_name in MODEL_VARIANTS:
         return MODEL_VARIANTS[model_name]
-    # custom "<attention>_<rpe>" names (reference: factory.py:170-185)
+    # custom "<attention>_<rpe>" names (reference: factory.py:170-185) —
+    # greedy over registry prefixes so multi-token names like
+    # "favor_plus_rope_2d" parse correctly
     parts = model_name.split("_")
-    attention_type = parts[0]
-    rpe_type = "_".join(parts[1:]) if len(parts) > 1 else None
-    if attention_type not in ATTENTION_REGISTRY:
-        raise ValueError(
-            f"Unknown model: {model_name}. "
-            f"Available models: {list(MODEL_VARIANTS.keys())}"
-        )
-    if rpe_type is not None and rpe_type not in RPE_REGISTRY:
-        raise ValueError(
-            f"Unknown RPE type: {rpe_type}. "
-            f"Available types: {list(RPE_REGISTRY.keys())}"
-        )
-    return attention_type, rpe_type
+    for i in range(len(parts), 0, -1):
+        attention_type = "_".join(parts[:i])
+        if attention_type in ATTENTION_REGISTRY:
+            rpe_type = "_".join(parts[i:]) or None
+            if rpe_type is not None and rpe_type not in RPE_REGISTRY:
+                raise ValueError(
+                    f"Unknown RPE type: {rpe_type}. "
+                    f"Available types: {list(RPE_REGISTRY.keys())}"
+                )
+            return attention_type, rpe_type
+    raise ValueError(
+        f"Unknown model: {model_name}. "
+        f"Available models: {list(MODEL_VARIANTS.keys())}"
+    )
 
 
 def create_model(
@@ -126,6 +129,7 @@ def create_model(
         rpe_type=rpe_type,
         attention_kwargs=tuple(sorted(attn_kwargs.items())),
         rpe_kwargs=tuple(sorted(rpe_kwargs.items())),
+        dtype=cfg.get("compute_dtype", "float32"),
     )
 
 

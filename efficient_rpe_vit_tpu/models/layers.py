@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from .attention import ATTENTION_REGISTRY
 from .rpe import RPE_REGISTRY
@@ -23,14 +24,16 @@ class Mlp(nn.Module):
     dim: int
     mlp_dim: int
     dropout: float = 0.0
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.mlp_dim, name="fc1",
+        dtype = jnp.dtype(self.dtype)
+        x = nn.Dense(self.mlp_dim, name="fc1", dtype=dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
         x = nn.gelu(x, approximate=False)  # exact erf, matches torch nn.GELU
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = nn.Dense(self.dim, name="fc2",
+        x = nn.Dense(self.dim, name="fc2", dtype=dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
@@ -61,6 +64,7 @@ class TransformerBlock(nn.Module):
     rpe_type: Optional[str] = None
     attention_kwargs: tuple = ()  # sorted (key, value) pairs
     rpe_kwargs: tuple = ()
+    dtype: str = "float32"
 
     def setup(self):
         attn_cls = ATTENTION_REGISTRY[self.attention_type]
@@ -68,6 +72,7 @@ class TransformerBlock(nn.Module):
             dim=self.dim,
             heads=self.heads,
             dropout=self.dropout,
+            dtype=self.dtype,
             **dict(self.attention_kwargs),
         )
         if self.rpe_type is not None:
@@ -80,13 +85,23 @@ class TransformerBlock(nn.Module):
             )
         else:
             self.rpe = None
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
-        self.mlp = Mlp(dim=self.dim, mlp_dim=self.mlp_dim, dropout=self.dropout)
+        # LayerNorm statistics stay fp32; output cast to compute dtype
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        self.mlp = Mlp(dim=self.dim, mlp_dim=self.mlp_dim,
+                       dropout=self.dropout, dtype=self.dtype)
 
-    def __call__(self, x, deterministic: bool = True):
-        x = x + self.attention(
-            self.norm1(x), rpe=self.rpe, deterministic=deterministic
+    def __call__(self, x, deterministic: bool = True,
+                 return_attention: bool = False):
+        attn_out = self.attention(
+            self.norm1(x), rpe=self.rpe, deterministic=deterministic,
+            return_attention=return_attention,
         )
+        weights = None
+        if return_attention:
+            attn_out, weights = attn_out
+        x = x + attn_out
         x = x + self.mlp(self.norm2(x), deterministic=deterministic)
+        if return_attention:
+            return x, weights
         return x

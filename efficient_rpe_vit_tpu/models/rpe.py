@@ -49,6 +49,38 @@ class RoPE(nn.Module):
         return x
 
 
+class RoPE2D(nn.Module):
+    """Axial 2D rotary embedding over the patch grid — the honest upgrade
+    of the reference's 1D RoPE (its README claims 2D vision positions but
+    the code rotates by 1D token index; SURVEY.md §2.10). First half of
+    head_dim rotates by x, second half by y; CLS excluded. Parameter-free.
+    New in this framework (no reference counterpart)."""
+
+    num_patches: int  # sequence length including CLS
+    dim: int
+    heads: int
+    theta: float = 100.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+    def setup(self):
+        from ..ops.rotations import rope_2d_tables
+
+        cos, sin = rope_2d_tables(self.num_patches - 1, self.head_dim,
+                                  self.theta)
+        self._cos, self._sin = cos, sin
+
+    def apply_rotary(self, q, k):
+        from ..ops.rotations import apply_rope_2d
+
+        return apply_rope_2d(q, k, self._cos, self._sin)
+
+    def __call__(self, x):
+        return x
+
+
 class KerpleRPE(nn.Module):
     """KERPLE 'most general' RPE (Luo et al. 2021, Alg. 1).
 
@@ -163,6 +195,7 @@ class CirculantStringRPE(nn.Module):
 
 
 # name -> class, with aliases (reference: models/rpe/__init__.py:17-24)
+# rope_2d / rope_axial are new in this framework (true-2D RoPE upgrade).
 RPE_REGISTRY = {
     "most_general": KerpleRPE,
     "kerple": KerpleRPE,
@@ -170,4 +203,6 @@ RPE_REGISTRY = {
     "circulant": CirculantStringRPE,
     "rope": RoPE,
     "rotary": RoPE,
+    "rope_2d": RoPE2D,
+    "rope_axial": RoPE2D,
 }

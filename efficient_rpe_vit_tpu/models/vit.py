@@ -54,6 +54,10 @@ class ViT(nn.Module):
     rpe_type: Optional[str] = None
     attention_kwargs: tuple = ()
     rpe_kwargs: tuple = ()
+    # compute dtype policy: activations/matmul inputs in this dtype, params
+    # and softmax/normaliser statistics in fp32 (bfloat16 feeds the MXU at
+    # full rate; accumulation stays fp32 via preferred_element_type)
+    dtype: str = "float32"
 
     @property
     def num_patches(self) -> int:
@@ -64,8 +68,14 @@ class ViT(nn.Module):
         return self.in_channels * self.patch_size * self.patch_size
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        """x: [B, H, W, C] float images -> [B, num_classes] logits."""
+    def __call__(self, x, deterministic: bool = True,
+                 return_attention: bool = False):
+        """x: [B, H, W, C] float images -> [B, num_classes] logits.
+
+        With return_attention=True also returns the per-block attention
+        maps (softmax attention only) — a working version of the
+        reference's `get_attention_maps` placeholder (base_vit.py:255-263).
+        """
         from .layers import TransformerBlock
 
         B = x.shape[0]
@@ -75,13 +85,14 @@ class ViT(nn.Module):
                 f"{self.in_channels}], got {x.shape}"
             )
 
-        x = patchify(x, self.patch_size)  # [B, P, patch_dim]
-        x = nn.Dense(self.dim, name="patch_embedding",
+        dtype = jnp.dtype(self.dtype)
+        x = patchify(x, self.patch_size).astype(dtype)  # [B, P, patch_dim]
+        x = nn.Dense(self.dim, name="patch_embedding", dtype=dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
 
         cls = self.param(
             "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, self.dim)
-        )
+        ).astype(dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), x], axis=1)
 
         pos = self.param(
@@ -89,8 +100,9 @@ class ViT(nn.Module):
             nn.initializers.normal(stddev=0.02),
             (1, self.num_patches + 1, self.dim),
         )
-        x = x + pos
+        x = x + pos.astype(dtype)
 
+        attention_maps = []
         for i in range(self.depth):
             x = TransformerBlock(
                 dim=self.dim,
@@ -102,10 +114,18 @@ class ViT(nn.Module):
                 rpe_type=self.rpe_type,
                 attention_kwargs=self.attention_kwargs,
                 rpe_kwargs=self.rpe_kwargs,
+                dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic,
+              return_attention=return_attention)
+            if return_attention:
+                x, weights = x
+                attention_maps.append(weights)
 
-        cls_out = x[:, 0]
+        cls_out = x[:, 0].astype(jnp.float32)  # head in fp32
         cls_out = nn.LayerNorm(epsilon=1e-5, name="head_norm")(cls_out)
-        return nn.Dense(self.num_classes, name="head",
-                        kernel_init=nn.initializers.xavier_uniform())(cls_out)
+        logits = nn.Dense(self.num_classes, name="head",
+                          kernel_init=nn.initializers.xavier_uniform())(cls_out)
+        if return_attention:
+            return logits, attention_maps
+        return logits

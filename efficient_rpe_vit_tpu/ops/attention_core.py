@@ -34,6 +34,20 @@ EPS = 1e-6  # denominator stabiliser (reference: favor_plus.py:260)
 
 # Below this sequence length the masked-matmul KERPLE path wins on TPU.
 KERPLE_DENSE_CROSSOVER_N = 256
+# Above this sequence length the fused Pallas kernel beats the XLA dense
+# path (it never materialises the [B,H,N,N] weights in HBM). Below it, the
+# whole problem fits in one XLA fusion anyway and kernel padding dominates.
+# Measured on v5e at seq 197 / bs 256: fused KERPLE 2.45 -> 0.76 ms/step;
+# flash softmax only breaks even there (XLA's one-fusion softmax is already
+# good at N~200), so its threshold is higher.
+PALLAS_MIN_N = 128
+FLASH_MIN_N = 512
+
+
+def _pallas_ok() -> bool:
+    from .pallas import pallas_available
+
+    return pallas_available()
 
 
 def softmax_attention(q, k, v, scale, mask=None, return_attention: bool = False,
@@ -49,6 +63,17 @@ def softmax_attention(q, k, v, scale, mask=None, return_attention: bool = False,
     Returns:
         [B, H, N, D], and the [B, H, N, N] probabilities if return_attention.
     """
+    if (
+        mask is None
+        and dropout_fn is None
+        and not return_attention
+        and q.shape[2] >= FLASH_MIN_N
+        and _pallas_ok()
+    ):
+        from .pallas import flash_softmax_attention
+
+        return flash_softmax_attention(q, k, v, scale)
+
     attn = jnp.einsum(
         "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -111,7 +136,16 @@ def kerple_linear_attention(q_prime, k_prime, v, coeffs, method: str = "auto",
     """
     n = q_prime.shape[2]
     if method == "auto":
-        method = "dense" if n < KERPLE_DENSE_CROSSOVER_N else "fft"
+        if n >= PALLAS_MIN_N and _pallas_ok():
+            method = "pallas"
+        else:
+            method = "dense" if n < KERPLE_DENSE_CROSSOVER_N else "fft"
+    if method == "pallas":
+        from .fft_toeplitz import toeplitz_from_coeffs
+        from .pallas import fused_masked_linear_attention
+
+        T = toeplitz_from_coeffs(coeffs, n)
+        return fused_masked_linear_attention(q_prime, k_prime, v, T)
     if method == "dense":
         return _kerple_dense(q_prime, k_prime, v, coeffs)
     if method == "fft":

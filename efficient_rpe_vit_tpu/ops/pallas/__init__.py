@@ -1,0 +1,18 @@
+"""Pallas TPU kernels — the fused hot paths (SURVEY.md §7 stage 8).
+
+Every kernel is gated against its jnp reference in ops/attention_core.py
+(the naive-oracle test pattern, SURVEY.md §4) and runs in interpret mode on
+CPU for tests.
+"""
+
+from .attention_kernels import (
+    flash_softmax_attention,
+    fused_masked_linear_attention,
+    pallas_available,
+)
+
+__all__ = [
+    "flash_softmax_attention",
+    "fused_masked_linear_attention",
+    "pallas_available",
+]

@@ -1,0 +1,319 @@
+"""Fused attention kernels (Pallas TPU).
+
+Two kernels share one tiling skeleton — grid (B, H, Q-tiles, KV-tiles) with
+fp32 VMEM accumulators persisting across the KV (reduction) dimension:
+
+  * `flash_softmax_attention` — flash-style softmax attention: online
+    softmax (running max m / normaliser l / output acc), the [N, N] scores
+    matrix never leaves VMEM. Replaces the reference's materialised
+    `(q@k^T).softmax() @ v` (softmax.py:100-115).
+  * `fused_masked_linear_attention` — KERPLE's Toeplitz-masked kernelised
+    attention: w = (phi(q) phi(k)^T) * T accumulated straight into the
+    output and row-normaliser, so neither the [B,H,N,N] weight matrix nor
+    the reference's [B,H,N,F,D] outer-product tensor (kerple.py:252-256)
+    ever touches HBM. No online max needed — the weights are products of
+    positives, not exponentials.
+
+Numerics: all accumulation fp32 (`preferred_element_type`); padded KV
+columns are masked with -0.7*float_max in the softmax kernel and contribute
+exact zeros in the masked-linear kernel (zero-padded phi(k) rows).
+
+Backward passes use jax.custom_vjp with a recompute-from-residuals jnp
+reference VJP — numerically identical gradients, with the forward's HBM
+savings retained (the backward recompute stays inside one XLA program).
+
+Both launchers pad (N, F, D) up to lane/sublane multiples and slice the
+result; tests run the kernels in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu import fails on some non-TPU builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAVE_PLTPU = False
+
+LANES = 128
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+EPS = 1e-6
+
+
+def pallas_available() -> bool:
+    return _HAVE_PLTPU and jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_axis(x, axis: int, target: int):
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ════════════════════════════════════════════════════════════════════════
+# Kernel 1: fused Toeplitz-masked linear attention (KERPLE dense path)
+# ════════════════════════════════════════════════════════════════════════
+
+def _masked_linear_kernel(q_ref, k_ref, v_ref, t_ref, o_ref,
+                          acc_ref, den_ref, *, n_kv_tiles: int):
+    """One (b, h, iq, jk) cell: accumulate w = (q k^T) * T into out/den."""
+    jk = pl.program_id(3)
+
+    @pl.when(jk == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        den_ref[...] = jnp.zeros_like(den_ref)
+
+    q = q_ref[0, 0]  # [bq, F]
+    k = k_ref[0, 0]  # [bk, F]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    w = s * t_ref[0]  # Toeplitz mask (zero-padded -> exact zeros)
+    acc_ref[...] += jnp.dot(
+        w, v_ref[0, 0].astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    den_ref[...] += jnp.sum(w, axis=1, keepdims=True)
+
+    @pl.when(jk == n_kv_tiles - 1)
+    def _store():
+        o_ref[0, 0] = (acc_ref[...] / (den_ref[...] + EPS)).astype(o_ref.dtype)
+
+
+def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q: int,
+                            block_kv: int, interpret: bool):
+    B, H, N, F = q_prime.shape
+    D = v.shape[-1]
+    Np = _round_up(N, max(block_q, block_kv))
+    Fp = _round_up(F, LANES)
+    Dp = _round_up(D, LANES)
+
+    qp = _pad_axis(_pad_axis(q_prime, 2, Np), 3, Fp)
+    kp = _pad_axis(_pad_axis(k_prime, 2, Np), 3, Fp)
+    vp = _pad_axis(_pad_axis(v, 2, Np), 3, Dp)
+    Tp = _pad_axis(_pad_axis(T, 1, Np), 2, Np)  # [H, Np, Np]
+
+    n_q_tiles = Np // block_q
+    n_kv_tiles = Np // block_kv
+
+    grid = (B, H, n_q_tiles, n_kv_tiles)
+    out = pl.pallas_call(
+        functools.partial(_masked_linear_kernel, n_kv_tiles=n_kv_tiles),
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, Fp), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, Fp), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, block_q, block_kv), lambda b, h, i, j: (h, i, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ] if _HAVE_PLTPU else [],
+        compiler_params=(
+            pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+            )
+            if _HAVE_PLTPU and not interpret
+            else None
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, Tp)
+    return out[:, :, :N, :D]
+
+
+def _masked_linear_reference(q_prime, k_prime, v, T):
+    """jnp oracle (identical math to ops.attention_core._kerple_dense)."""
+    A = jnp.einsum("bhif,bhjf->bhij", q_prime, k_prime,
+                   preferred_element_type=jnp.float32)
+    w = A * T[None]
+    num = jnp.einsum("bhij,bhjd->bhid", w, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    den = jnp.sum(w, axis=-1)
+    return (num / (den[..., None] + EPS)).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_masked_linear_attention(q_prime, k_prime, v, T,
+                                  block_q: int = 128, block_kv: int = 128,
+                                  interpret: bool = False):
+    """out_i = sum_j T[i,j] (phi(q_i).phi(k_j)) v_j / sum_j T[i,j] (phi..)
+
+    Args:
+        q_prime, k_prime: [B, H, N, F] non-negative features.
+        v: [B, H, N, D].
+        T: [H, N, N] positive Toeplitz matrix (exp of KERPLE biases).
+        interpret: run in Pallas interpret mode (CPU tests).
+    Returns:
+        [B, H, N, D].
+    """
+    return _masked_linear_fwd_impl(
+        q_prime, k_prime, v, T,
+        block_q=block_q, block_kv=block_kv, interpret=interpret,
+    )
+
+
+def _fml_fwd(q_prime, k_prime, v, T, block_q, block_kv, interpret):
+    out = _masked_linear_fwd_impl(
+        q_prime, k_prime, v, T,
+        block_q=block_q, block_kv=block_kv, interpret=interpret,
+    )
+    return out, (q_prime, k_prime, v, T)
+
+
+def _fml_bwd(block_q, block_kv, interpret, residuals, g):
+    q_prime, k_prime, v, T = residuals
+    _, vjp = jax.vjp(_masked_linear_reference, q_prime, k_prime, v, T)
+    return vjp(g)
+
+
+fused_masked_linear_attention.defvjp(_fml_fwd, _fml_bwd)
+
+
+# ════════════════════════════════════════════════════════════════════════
+# Kernel 2: flash softmax attention
+# ════════════════════════════════════════════════════════════════════════
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale: float, n_kv_tiles: int, block_kv: int,
+                  seq_len: int):
+    jk = pl.program_id(3)
+
+    @pl.when(jk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # [bq, Dp]
+    k = k_ref[0, 0]  # [bk, Dp]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+
+    # mask padded kv columns (beyond the true sequence length)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_kv
+    s = jnp.where(col < seq_len, s, MASK_VALUE)
+
+    m_prev = m_ref[...]  # [bq, 1]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)  # [bq, bk]
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p, v_ref[0, 0].astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(jk == n_kv_tiles - 1)
+    def _store():
+        l = l_ref[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+def _flash_fwd_impl(q, k, v, *, scale: float, block_q: int, block_kv: int,
+                    interpret: bool):
+    B, H, N, D = q.shape
+    Np = _round_up(N, max(block_q, block_kv))
+    Dp = _round_up(D, LANES)
+
+    qp = _pad_axis(_pad_axis(q, 2, Np), 3, Dp)
+    kp = _pad_axis(_pad_axis(k, 2, Np), 3, Dp)
+    vp = _pad_axis(_pad_axis(v, 2, Np), 3, Dp)
+
+    n_q_tiles = Np // block_q
+    n_kv_tiles = Np // block_kv
+    grid = (B, H, n_q_tiles, n_kv_tiles)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, n_kv_tiles=n_kv_tiles,
+            block_kv=block_kv, seq_len=N,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+        ] if _HAVE_PLTPU else [],
+        compiler_params=(
+            pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+            )
+            if _HAVE_PLTPU and not interpret
+            else None
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :N, :D]
+
+
+def _flash_reference(q, k, v, scale):
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_softmax_attention(q, k, v, scale: float, block_q: int = 128,
+                            block_kv: int = 128, interpret: bool = False):
+    """softmax(q k^T * scale) v without materialising the scores in HBM.
+
+    Args:
+        q, k, v: [B, H, N, D].
+    Returns:
+        [B, H, N, D].
+    """
+    return _flash_fwd_impl(q, k, v, scale=scale, block_q=block_q,
+                           block_kv=block_kv, interpret=interpret)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_kv, interpret):
+    out = _flash_fwd_impl(q, k, v, scale=scale, block_q=block_q,
+                          block_kv=block_kv, interpret=interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_kv, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: _flash_reference(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+flash_softmax_attention.defvjp(_flash_fwd, _flash_bwd)

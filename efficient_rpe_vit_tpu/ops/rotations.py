@@ -16,6 +16,7 @@ CLS token (index 0) is excluded from rotation (circulant_string.py:321-341).
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -58,6 +59,49 @@ def apply_rope(q, k, cos, sin):
         return jnp.stack([r_even, r_odd], axis=-1).reshape(B, H, N, D)
 
     return rot(q), rot(k)
+
+
+def rope_2d_tables(num_patch_tokens: int, head_dim: int,
+                   theta: float = 100.0):
+    """Axial 2D RoPE tables over the patch grid (the honest upgrade the
+    reference's README promises but its code doesn't deliver —
+    SURVEY.md §2.10).
+
+    The head_dim is split in half: the first half rotates by the x
+    coordinate, the second by the y coordinate (axial frequencies like
+    naver-ai/rope-vit's 2D variant). `theta` defaults lower than 1D RoPE
+    because grid coordinates span ~14 positions, not thousands.
+
+    Returns:
+        (cos, sin): [num_patch_tokens, head_dim // 2] float32 numpy for the
+        PATCH tokens only (CLS is excluded by the caller).
+    """
+    if head_dim % 4 != 0:
+        raise ValueError(f"axial 2D RoPE needs head_dim % 4 == 0, got {head_dim}")
+    pos = grid_positions_2d(num_patch_tokens)  # [N, 2] = (x, y)
+    quarter = head_dim // 4
+    freqs = 1.0 / (
+        theta ** (np.arange(quarter, dtype=np.float32) / quarter)
+    )  # [quarter]
+    ang_x = pos[:, 0:1] * freqs[None, :]  # [N, quarter]
+    ang_y = pos[:, 1:2] * freqs[None, :]
+    angles = np.concatenate([ang_x, ang_y], axis=-1)  # [N, head_dim//2]
+    return np.cos(angles), np.sin(angles)
+
+
+def apply_rope_2d(q, k, cos, sin):
+    """Axial 2D rotary embedding; CLS (token 0) passes through unrotated.
+
+    Args:
+        q, k: [B, H, N, D] with CLS at index 0.
+        cos, sin: [N-1, D//2] patch-token tables from rope_2d_tables.
+    """
+    if q.shape[2] <= 1:
+        return q, k
+    q_rot, k_rot = apply_rope(q[:, :, 1:], k[:, :, 1:], cos, sin)
+    q = jnp.concatenate([q[:, :, :1], q_rot], axis=2)
+    k = jnp.concatenate([k[:, :, :1], k_rot], axis=2)
+    return q, k
 
 
 # ----------------------------------------------------- Circulant-STRING ---
@@ -109,7 +153,14 @@ def circulant_eigenvalues(coeffs):
 
 
 def apply_circulant_rotation(x, positions, coeffs):
-    """x' = exp(sum_k r_k L_k) @ x via FFT along head_dim.
+    """x' = exp(sum_k r_k L_k) @ x via real FFT along head_dim.
+
+    TPU note: because L is real skew-symmetric, exp(mu) has Hermitian
+    symmetry in frequency, so the whole rotation lives in the rfft
+    half-spectrum — half the FFT work of the reference's complex path
+    (circulant_string.py:276-295) and no complex64 cast of x. The angle
+    theta = 2*Im(FFT(c)) at the rfft frequencies is computed directly from
+    a real DFT matmul (D is tiny, this is one small MXU op).
 
     Args:
         x: [B, H, N, D] (patch tokens only — CLS excluded by the caller).
@@ -118,13 +169,18 @@ def apply_circulant_rotation(x, positions, coeffs):
     Returns:
         [B, H, N, D] rotated, same dtype as x.
     """
-    eig = circulant_eigenvalues(coeffs)  # [H, C, D] purely imaginary
+    D = x.shape[-1]
     pos = jnp.asarray(positions, dtype=jnp.float32)
-    # mu[h, n, d] = sum_c pos[n, c] * eig[h, c, d]  (complex)
-    mu = jnp.einsum("nc,hcd->hnd", pos.astype(eig.dtype), eig)
-    x_freq = jnp.fft.fft(x.astype(jnp.complex64), axis=-1)
-    # exp(mu) lies on the unit circle (mu purely imaginary) — no overflow.
-    x_rot = jnp.fft.ifft(jnp.exp(mu)[None] * x_freq, axis=-1).real
+    # Im(FFT(c))_k = -sum_d c_d sin(2*pi*k*d/D), at rfft freqs k=0..D//2
+    k = np.arange(D // 2 + 1, dtype=np.float32)
+    d = np.arange(D, dtype=np.float32)
+    sin_dft = jnp.asarray(-np.sin(2 * np.pi * k[:, None] * d[None, :] / D))
+    im_fft = jnp.einsum("hcd,kd->hck", coeffs.astype(jnp.float32), sin_dft)
+    # theta[h, n, k] = 2 * sum_c pos[n, c] * Im(FFT(c_h,c))_k
+    theta = 2.0 * jnp.einsum("nc,hck->hnk", pos, im_fft)  # [H, N, D//2+1]
+    rot = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    x_freq = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)
+    x_rot = jnp.fft.irfft(rot[None] * x_freq, n=D, axis=-1)
     return x_rot.astype(x.dtype)
 
 

@@ -258,3 +258,24 @@ def test_feature_redraw(rng):
     # deterministic mode never redraws
     out2 = attn.apply(variables, x, deterministic=True)
     assert out2.shape == (2, 17, 32)
+
+
+def test_vit_attention_maps(rng):
+    """Working attention-map extraction (upgrade over the reference's
+    raising stub, base_vit.py:255-263)."""
+    cfg = mnist_config()
+    model = create_model("baseline", cfg)
+    x = jax.random.normal(rng, (2, 28, 28, 1))
+    variables = model.init({"params": rng}, x, deterministic=True)
+    logits, maps = model.apply(variables, x, deterministic=True,
+                               return_attention=True)
+    assert logits.shape == (2, 10)
+    assert len(maps) == cfg.model.depth
+    assert maps[0].shape == (2, 2, 17, 17)
+    np.testing.assert_allclose(np.asarray(jnp.sum(maps[0], -1)), 1.0,
+                               rtol=1e-5)
+    # linear attention still rejects
+    m2 = create_model("performer_favor", cfg)
+    v2 = m2.init({"params": rng}, x, deterministic=True)
+    with pytest.raises(NotImplementedError):
+        m2.apply(v2, x, deterministic=True, return_attention=True)

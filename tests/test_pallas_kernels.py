@@ -1,0 +1,129 @@
+"""Pallas kernels vs jnp oracles (interpret mode on CPU).
+
+The naive-oracle gating pattern from the reference's FFT tests
+(SURVEY.md §4) applied to the fused TPU kernels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_rpe_vit_tpu.ops.attention_core import _kerple_dense, softmax_attention
+from efficient_rpe_vit_tpu.ops.fft_toeplitz import toeplitz_from_coeffs
+from efficient_rpe_vit_tpu.ops.pallas import (
+    flash_softmax_attention,
+    fused_masked_linear_attention,
+)
+
+INTERP = dict(interpret=True)
+
+
+@pytest.fixture
+def kerple_inputs(rng):
+    B, H, N, F, D = 2, 2, 197, 44, 16
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    qp = jnp.abs(jax.random.normal(k1, (B, H, N, F))) * 0.1
+    kp = jnp.abs(jax.random.normal(k2, (B, H, N, F))) * 0.1
+    v = jax.random.normal(k3, (B, H, N, D))
+    coeffs = jnp.exp(jax.random.normal(k4, (H, 2 * N - 1)) * 0.02)
+    return qp, kp, v, coeffs
+
+
+def test_masked_linear_matches_oracle(kerple_inputs):
+    qp, kp, v, coeffs = kerple_inputs
+    N = qp.shape[2]
+    T = toeplitz_from_coeffs(coeffs, N)
+    got = fused_masked_linear_attention(qp, kp, v, T, 128, 128, True)
+    want = _kerple_dense(qp, kp, v, coeffs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_masked_linear_small_seq(rng):
+    """seq 17 (MNIST patch-7 config) — heavy padding path."""
+    B, H, N, F, D = 3, 2, 17, 44, 16
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    qp = jnp.abs(jax.random.normal(k1, (B, H, N, F))) * 0.2
+    kp = jnp.abs(jax.random.normal(k2, (B, H, N, F))) * 0.2
+    v = jax.random.normal(k3, (B, H, N, D))
+    coeffs = jnp.exp(jax.random.normal(k4, (H, 2 * N - 1)) * 0.02)
+    T = toeplitz_from_coeffs(coeffs, N)
+    got = fused_masked_linear_attention(qp, kp, v, T, 128, 128, True)
+    want = _kerple_dense(qp, kp, v, coeffs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_masked_linear_gradients_match(kerple_inputs):
+    """custom_vjp backward == direct jnp gradients."""
+    qp, kp, v, coeffs = kerple_inputs
+    qp, kp, v = qp[:1, :1, :33], kp[:1, :1, :33], v[:1, :1, :33]
+    N = qp.shape[2]
+    T = toeplitz_from_coeffs(coeffs[:1, : 2 * N - 1], N)
+
+    def loss_pallas(qp, kp, v, T):
+        return jnp.sum(
+            fused_masked_linear_attention(qp, kp, v, T, 128, 128, True) ** 2
+        )
+
+    def loss_ref(qp, kp, v, T):
+        A = jnp.einsum("bhif,bhjf->bhij", qp, kp)
+        w = A * T[None]
+        num = jnp.einsum("bhij,bhjd->bhid", w, v)
+        den = jnp.sum(w, -1)
+        return jnp.sum((num / (den[..., None] + 1e-6)) ** 2)
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(qp, kp, v, T)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qp, kp, v, T)
+    for a, b in zip(g_pallas, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("N", [17, 128, 197])
+def test_flash_matches_reference(rng, N):
+    B, H, D = 2, 2, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    scale = D ** -0.5
+    got = flash_softmax_attention(q, k, v, scale, 128, 128, True)
+    want = softmax_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_flash_gradients_match(rng):
+    B, H, N, D = 1, 2, 33, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    scale = D ** -0.5
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_softmax_attention(q, k, v, scale, 128, 128, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(softmax_attention(q, k, v, scale) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_flash_long_sequence_multi_tile(rng):
+    """Multiple q AND kv tiles (online-softmax correction across tiles)."""
+    B, H, N, D = 1, 1, 384, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D)) * 2.0
+    k = jax.random.normal(k2, (B, H, N, D)) * 2.0
+    v = jax.random.normal(k3, (B, H, N, D))
+    got = flash_softmax_attention(q, k, v, 0.25, 128, 128, True)
+    want = softmax_attention(q, k, v, 0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)

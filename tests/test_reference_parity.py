@@ -40,57 +40,13 @@ def _build_reference_model(name):
     return model
 
 
-def _torch_params_to_flax(ref_model, flax_params):
-    """Copy reference torch weights into a same-shape flax params tree."""
-    import copy
-
-    p = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
-    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
-
-    p["patch_embedding"]["kernel"] = sd["patch_embedding.weight"].T
-    p["patch_embedding"]["bias"] = sd["patch_embedding.bias"]
-    p["cls_token"] = sd["cls_token"]
-    p["pos_embedding"] = sd["pos_embedding"]
-    p["head_norm"]["scale"] = sd["mlp_head.0.weight"]
-    p["head_norm"]["bias"] = sd["mlp_head.0.bias"]
-    p["head"]["kernel"] = sd["mlp_head.1.weight"].T
-    p["head"]["bias"] = sd["mlp_head.1.bias"]
-
-    n_blocks = len(ref_model.transformer_blocks)
-    for i in range(n_blocks):
-        blk = p[f"block_{i}"]
-        pre = f"transformer_blocks.{i}."
-        blk["norm1"]["scale"] = sd[pre + "norm1.weight"]
-        blk["norm1"]["bias"] = sd[pre + "norm1.bias"]
-        blk["norm2"]["scale"] = sd[pre + "norm2.weight"]
-        blk["norm2"]["bias"] = sd[pre + "norm2.bias"]
-        blk["attention"]["qkv"]["kernel"] = sd[pre + "attention.qkv.weight"].T
-        if pre + "attention.qkv.bias" in sd:
-            blk["attention"]["qkv"]["bias"] = sd[pre + "attention.qkv.bias"]
-        blk["attention"]["proj"]["kernel"] = sd[pre + "attention.proj.weight"].T
-        blk["attention"]["proj"]["bias"] = sd[pre + "attention.proj.bias"]
-        blk["mlp"]["fc1"]["kernel"] = sd[pre + "mlp.0.weight"].T
-        blk["mlp"]["fc1"]["bias"] = sd[pre + "mlp.0.bias"]
-        blk["mlp"]["fc2"]["kernel"] = sd[pre + "mlp.3.weight"].T
-        blk["mlp"]["fc2"]["bias"] = sd[pre + "mlp.3.bias"]
-        if pre + "rpe.rel_pos_bias" in sd:
-            blk["rpe"]["rel_pos_bias"] = sd[pre + "rpe.rel_pos_bias"]
-        if pre + "rpe.circulant_coeffs" in sd:
-            blk["rpe"]["circulant_coeffs"] = sd[pre + "rpe.circulant_coeffs"]
-    return jax.tree_util.tree_map(jnp.asarray, p)
+from efficient_rpe_vit_tpu.utils.import_torch import import_reference_model
 
 
-def _copy_omega(ref_model, variables):
-    """Copy the reference's random-feature buffers into flax 'constants'."""
-    import copy
-
-    consts = copy.deepcopy(
-        jax.tree_util.tree_map(np.asarray, variables["constants"])
-    )
-    for i, blk in enumerate(ref_model.transformer_blocks):
-        omega = blk.attention.omega.detach().numpy()
-        consts[f"block_{i}"]["attention"]["omega"] = omega
-    return jax.tree_util.tree_map(jnp.asarray, consts)
+def _collect_state_dict(ref_model):
+    """state_dict + the omega buffers (registered buffers ARE in
+    state_dict; this is here to make the dependency explicit)."""
+    return ref_model.state_dict()
 
 
 PARITY_VARIANTS = [
@@ -118,10 +74,7 @@ def test_logit_parity(variant, atol):
     x_np = np.random.default_rng(0).normal(size=(4, 28, 28, 1)).astype(np.float32)
     variables = model.init({"params": rng}, jnp.asarray(x_np),
                            deterministic=True)
-    variables = dict(variables)
-    variables["params"] = _torch_params_to_flax(ref_model, variables["params"])
-    if "constants" in variables:
-        variables["constants"] = _copy_omega(ref_model, variables)
+    variables = import_reference_model(ref_model, variables)
 
     ours = np.asarray(
         model.apply(variables, jnp.asarray(x_np), deterministic=True)
