@@ -153,19 +153,21 @@ def parallel_train_epoch(
 
     data_sharding = NamedSharding(mesh, batch_spec())
     t0 = time.perf_counter()
-    total_loss, total_correct, total_seen = 0.0, 0, 0
+    total_loss = jnp.zeros((), jnp.float32)  # device-side accumulation
+    total_correct = jnp.zeros((), jnp.int32)
+    total_seen = 0
     for images, labels in dataset:
         rng, sub = jax.random.split(rng)
         images = jax.device_put(images, data_sharding)
         labels = jax.device_put(labels, data_sharding)
         state, loss, correct = train_step(state, images, labels, sub)
-        total_loss += float(loss) * images.shape[0]
-        total_correct += int(correct)
+        total_loss = total_loss + loss * images.shape[0]
+        total_correct = total_correct + correct
         total_seen += images.shape[0]
     jax.block_until_ready(state.params)
     return state, {
-        "loss": total_loss / max(1, total_seen),
-        "accuracy": 100.0 * total_correct / max(1, total_seen),
+        "loss": float(total_loss) / max(1, total_seen),
+        "accuracy": 100.0 * float(total_correct) / max(1, total_seen),
         "time": time.perf_counter() - t0,
         "samples": total_seen,
     }

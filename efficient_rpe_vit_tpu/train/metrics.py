@@ -90,6 +90,29 @@ def accuracy_score(predictions, targets) -> float:
     return float(jnp.mean((p == t).astype(jnp.float32)))
 
 
+def compute_information_criteria(
+    mean_nll: float, num_samples: int, num_parameters: int
+) -> Dict[str, float]:
+    """Log-likelihood, AIC, and BIC for a classifier.
+
+    The reference's DESIGN.md:42-58 specifies these but never implemented
+    them (SURVEY.md §5.5) — delivered here. For cross-entropy training the
+    mean NLL is the per-sample negative log-likelihood, so:
+
+        log L = -mean_nll * n
+        AIC   = 2k - 2 log L
+        BIC   = k ln n - 2 log L
+    """
+    log_likelihood = -mean_nll * num_samples
+    aic = 2.0 * num_parameters - 2.0 * log_likelihood
+    bic = num_parameters * float(np.log(max(1, num_samples))) - 2.0 * log_likelihood
+    return {
+        "log_likelihood": float(log_likelihood),
+        "aic": float(aic),
+        "bic": float(bic),
+    }
+
+
 def precision_recall_fscore_support(targets, predictions, average: str = "weighted",
                                     num_classes: Optional[int] = None):
     """sklearn-compatible wrapper (reference: metrics.py:165-196)."""

@@ -186,29 +186,33 @@ def train_epoch(
     t0 = time.perf_counter()
     n_batches = len(dataset)
     log_every = max(1, int(n_batches * log_interval_frac))
-    total_loss = 0.0
-    total_correct = 0
+    # Accumulate metrics ON DEVICE (lazy jnp scalars): forcing a host sync
+    # every step would serialise dispatch and, on a remote-attached chip,
+    # add the full round-trip latency per step. Values only materialise at
+    # print time and at epoch end.
+    total_loss = jnp.zeros((), jnp.float32)
+    total_correct = jnp.zeros((), jnp.int32)
     total_seen = 0
     for i, (images, labels) in enumerate(dataset):
         rng, sub = jax.random.split(rng)
         state, loss, correct = train_step(state, images, labels, sub)
-        total_loss += float(loss) * images.shape[0]
-        total_correct += int(correct)
+        total_loss = total_loss + loss * images.shape[0]
+        total_correct = total_correct + correct
         total_seen += images.shape[0]
         if verbose and (i + 1) % log_every == 0:
             elapsed = time.perf_counter() - t0
             print(
                 f"  epoch {epoch} [{i + 1}/{n_batches}] "
-                f"loss {total_loss / total_seen:.4f} "
-                f"acc {100.0 * total_correct / total_seen:.2f}% "
+                f"loss {float(total_loss) / total_seen:.4f} "
+                f"acc {100.0 * float(total_correct) / total_seen:.2f}% "
                 f"({elapsed:.1f}s)",
                 flush=True,
             )
     jax.block_until_ready(state.params)
     epoch_time = time.perf_counter() - t0
     return state, {
-        "loss": total_loss / max(1, total_seen),
-        "accuracy": 100.0 * total_correct / max(1, total_seen),
+        "loss": float(total_loss) / max(1, total_seen),
+        "accuracy": 100.0 * float(total_correct) / max(1, total_seen),
         "time": epoch_time,
         "samples": total_seen,
     }
@@ -223,22 +227,22 @@ def evaluate(
 ) -> Dict[str, float]:
     """Full-split evaluation (reference: training.py:107-207); optionally
     adds precision/recall/F1 via the native metrics module."""
-    total_loss = 0.0
-    total_correct = 0
+    total_loss = jnp.zeros((), jnp.float32)
+    total_correct = jnp.zeros((), jnp.int32)
     total_seen = 0
     all_preds = []
     all_labels = []
     for images, labels in dataset:
         loss, correct, preds = eval_step(state, images, labels)
-        total_loss += float(loss) * images.shape[0]
-        total_correct += int(correct)
+        total_loss = total_loss + loss * images.shape[0]  # device-side
+        total_correct = total_correct + correct
         total_seen += images.shape[0]
         if detailed:
             all_preds.append(preds)
             all_labels.append(labels)
     out = {
-        "loss": total_loss / max(1, total_seen),
-        "accuracy": 100.0 * total_correct / max(1, total_seen),
+        "loss": float(total_loss) / max(1, total_seen),
+        "accuracy": 100.0 * float(total_correct) / max(1, total_seen),
         "samples": total_seen,
     }
     if detailed and all_preds:
@@ -256,17 +260,20 @@ def benchmark_inference(
     images,
     num_warmup: int = 10,
     num_iterations: int = 100,
+    fwd=None,
 ) -> Dict[str, float]:
     """Latency/throughput on one fixed batch: warmup then timed synchronized
     iterations (reference: training.py:210-283; block_until_ready is the TPU
-    synchronize)."""
+    synchronize). Pass a prebuilt jitted `fwd(variables, images)` to reuse
+    its compilation across runs."""
     variables = {"params": state.params}
     if state.constants is not None:
         variables["constants"] = state.constants
 
-    @jax.jit
-    def fwd(v, x):
-        return model.apply(v, x, deterministic=True)
+    if fwd is None:
+        @jax.jit
+        def fwd(v, x):
+            return model.apply(v, x, deterministic=True)
 
     for _ in range(num_warmup):
         out = fwd(variables, images)
@@ -282,7 +289,12 @@ def benchmark_inference(
     lat = jnp.asarray(latencies)
     batch = images.shape[0]
     total = float(jnp.sum(lat))
+    from ..utils.timing import device_memory_stats
+
+    mem = device_memory_stats()
     return {
+        **({"peak_memory_bytes": mem["peak_bytes_in_use"]}
+           if mem.get("peak_bytes_in_use") is not None else {}),
         "throughput_images_per_sec": batch * num_iterations / total,
         "latency_mean_ms": float(jnp.mean(lat)) * 1e3,
         "latency_std_ms": float(jnp.std(lat)) * 1e3,

@@ -35,6 +35,21 @@ class Timer:
         return False
 
 
+def device_memory_stats(device=None) -> dict:
+    """Device memory counters (bytes) — the TPU analogue of the reference's
+    CUDA peak-memory capture (training.py:94-97). Returns {} when the
+    backend doesn't expose stats (e.g. CPU)."""
+    dev = device or jax.devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)()
+    if not stats:
+        return {}
+    return {
+        "bytes_in_use": stats.get("bytes_in_use"),
+        "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+        "bytes_limit": stats.get("bytes_limit"),
+    }
+
+
 def format_time(seconds: float) -> str:
     """Format seconds as h/m/s string (reference: benchmark_utils.py:297-316)."""
     if seconds < 60:

@@ -60,9 +60,12 @@ def setup_benchmark_directory(args) -> str:
     return out
 
 
-def run_single_training(model: str, seed: int, run_dir: str, args):
+def run_single_training(model: str, seed: int, run_dir: str, args,
+                        shared=None):
     """One (model, seed) run -> metrics dict. In-process by default;
-    `--subprocess` matches the reference's process-per-run isolation."""
+    `--subprocess` matches the reference's process-per-run isolation.
+    `shared` carries compiled train/eval/bench programs across seeds of the
+    same model (compilation dominates short runs on remote-attached TPUs)."""
     from efficient_rpe_vit_tpu.train.benchmark_utils import load_run_metrics
 
     metrics_path = os.path.join(
@@ -89,7 +92,7 @@ def run_single_training(model: str, seed: int, run_dir: str, args):
         return load_run_metrics(metrics_path)
     from experiments.train import main as train_main
 
-    return train_main(cli)
+    return train_main(cli, shared=shared)
 
 
 def main(argv=None):
@@ -126,6 +129,7 @@ def main(argv=None):
     for model in args.models:
         model_dir = os.path.join(out_dir, model)
         runs = []
+        shared = {}  # per-model compiled-program cache across seeds
         for run_idx, seed in enumerate(seeds):
             run_dir = os.path.join(model_dir, f"run_{run_idx}_seed_{seed}")
             metrics_path = os.path.join(
@@ -139,7 +143,8 @@ def main(argv=None):
                     continue
             t0 = time.perf_counter()
             try:
-                metrics = run_single_training(model, seed, run_dir, args)
+                metrics = run_single_training(model, seed, run_dir, args,
+                                              shared=shared)
             except Exception as e:  # per-run isolation (reference :312-317)
                 print(f"[ERROR] {model} seed {seed}: {e}")
                 continue

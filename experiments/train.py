@@ -59,11 +59,25 @@ def parse_args(argv=None):
                    help="compute precision/recall/F1 at final eval")
     p.add_argument("--bench-warmup", type=int, default=10)
     p.add_argument("--bench-iters", type=int, default=100)
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of epoch 1 into DIR "
+                        "(view with TensorBoard / xprof)")
+    p.add_argument("--compute-dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"])
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
 
-def main(argv=None):
+def main(argv=None, shared=None):
+    """Run one training job.
+
+    Args:
+        argv: CLI args (None -> sys.argv).
+        shared: optional dict for cross-run reuse by in-process orchestrators
+            (experiments/benchmark.py): holds {model, train_step, eval_step}
+            so repeated seeds of the same model skip re-tracing/compiling —
+            on a remote-attached TPU, compilation dominates short runs.
+    """
     args = parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -84,6 +98,7 @@ def main(argv=None):
         train_epoch,
     )
     from efficient_rpe_vit_tpu.train.benchmark_utils import save_run_metrics
+    from efficient_rpe_vit_tpu.train.metrics import compute_information_criteria
 
     set_random_seeds(args.seed)
     config = get_dataset_config(
@@ -98,6 +113,7 @@ def main(argv=None):
         warmup_epochs=args.warmup_epochs,
         augmentation=args.augmentation,
         seed=args.seed,
+        compute_dtype=args.compute_dtype,
     )
 
     info = get_model_info(args.model) if args.model in __import__(
@@ -111,7 +127,12 @@ def main(argv=None):
     if not args.quiet:
         print(f"Data: {train_ds.num_samples} train / {test_ds.num_samples} test")
 
-    model = create_model(args.model, config)
+    if shared is not None and shared.get("model") is not None:
+        model = shared["model"]
+    else:
+        model = create_model(args.model, config)
+        if shared is not None:
+            shared["model"] = model
     rng = jax.random.PRNGKey(args.seed)
     rng, init_key = jax.random.split(rng)
     m = config.model
@@ -129,8 +150,15 @@ def main(argv=None):
         if not args.quiet:
             print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
-    train_step = make_train_step(model)
-    eval_step = make_eval_step(model)
+    if shared is not None and shared.get("train_step") is not None:
+        train_step = shared["train_step"]
+        eval_step = shared["eval_step"]
+    else:
+        train_step = make_train_step(model)
+        eval_step = make_eval_step(model)
+        if shared is not None:
+            shared["train_step"] = train_step
+            shared["eval_step"] = eval_step
 
     os.makedirs(args.output_dir, exist_ok=True)
     ckpt_path = os.path.join(
@@ -142,10 +170,17 @@ def main(argv=None):
     t_train0 = time.perf_counter()
     for epoch in range(start_epoch, config.train.epochs + 1):
         rng, epoch_key = jax.random.split(rng)
+        # tracing/profiling tier (SURVEY.md §5.1): one traced epoch
+        if args.profile and epoch == start_epoch:
+            jax.profiler.start_trace(args.profile)
         state, tm = train_epoch(
             state, train_step, train_ds, epoch_key, epoch=epoch,
             log_interval_frac=args.log_interval, verbose=not args.quiet,
         )
+        if args.profile and epoch == start_epoch:
+            jax.profiler.stop_trace()
+            if not args.quiet:
+                print(f"Profiler trace written to {args.profile}")
         em = evaluate(state, eval_step, test_ds)
         per_epoch.append({
             "epoch": epoch,
@@ -176,9 +211,17 @@ def main(argv=None):
                           detailed=args.eval_detailed)
 
     bench_images, _ = next(iter(test_ds))
+    bench_fwd = shared.get("bench_fwd") if shared is not None else None
+    if bench_fwd is None:
+        bench_fwd = jax.jit(
+            lambda v, x: model.apply(v, x, deterministic=True)
+        )
+        if shared is not None:
+            shared["bench_fwd"] = bench_fwd
     inference = benchmark_inference(
         state, model, bench_images,
         num_warmup=args.bench_warmup, num_iterations=args.bench_iters,
+        fwd=bench_fwd,
     )
     if not args.quiet:
         print(f"Inference: {inference['throughput_images_per_sec']:.1f} img/s, "
@@ -201,6 +244,9 @@ def main(argv=None):
             "best_test_accuracy": best_acc,
             "final_test_accuracy": final_eval["accuracy"],
             "final_test_loss": final_eval["loss"],
+            **compute_information_criteria(
+                final_eval["loss"], final_eval["samples"], n_params["total"]
+            ),
             "final_train_accuracy": per_epoch[-1]["train_accuracy"] if per_epoch else None,
             "final_train_loss": per_epoch[-1]["train_loss"] if per_epoch else None,
             "total_train_time": total_train_time,

@@ -222,3 +222,14 @@ def test_aggregated_statistics():
     assert agg["test_accuracy"]["mean"] == pytest.approx(95.0)
     assert agg["test_accuracy"]["std"] == pytest.approx(1.0)
     assert agg["train_time"]["values"] == [100.0, 110.0]
+
+
+def test_information_criteria():
+    """AIC/BIC/logL (DESIGN.md spec the reference never implemented)."""
+    from efficient_rpe_vit_tpu.train.metrics import compute_information_criteria
+
+    out = compute_information_criteria(mean_nll=0.5, num_samples=100,
+                                       num_parameters=10)
+    assert out["log_likelihood"] == pytest.approx(-50.0)
+    assert out["aic"] == pytest.approx(2 * 10 + 100.0)
+    assert out["bic"] == pytest.approx(10 * np.log(100) + 100.0)
