@@ -202,6 +202,41 @@ def get_sample_batch(config, split: str = "test", batch_size: Optional[int] = No
     return images, labels
 
 
+def visualize_batch(images, labels, out_path: Optional[str] = None,
+                    max_images: int = 16, class_names=None):
+    """Grid plot of one (possibly normalised) batch
+    (reference: data/datasets.py:189-252). Saves a PNG when out_path given,
+    else returns the matplotlib figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    imgs = np.asarray(images)[:max_images]
+    labs = np.asarray(labels)[:max_images]
+    # undo normalisation roughly for display
+    imgs = imgs - imgs.min()
+    denom = imgs.max() if imgs.max() > 0 else 1.0
+    imgs = imgs / denom
+    n = len(imgs)
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows))
+    for i, ax in enumerate(np.atleast_1d(axes).ravel()):
+        ax.set_axis_off()
+        if i < n:
+            img = imgs[i]
+            ax.imshow(img.squeeze() if img.shape[-1] == 1 else img,
+                      cmap="gray" if img.shape[-1] == 1 else None)
+            name = class_names[labs[i]] if class_names else str(labs[i])
+            ax.set_title(name, fontsize=8)
+    if out_path:
+        fig.savefig(out_path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
+    return fig
+
+
 def compute_dataset_stats(name: str) -> Dict[str, Tuple[float, ...]]:
     """Per-channel mean/std of the raw training images in [0, 1]
     (reference: data/datasets.py:255-305)."""

@@ -44,6 +44,11 @@ def parse_args(argv=None):
                    choices=["cosine", "warmup_cosine", "step", "constant"])
     p.add_argument("--warmup-epochs", type=int, default=None)
     p.add_argument("--augmentation", action="store_true", default=None)
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="accepted for reference-CLI compatibility; the "
+                        "device-resident pipeline has no loader workers")
+    p.add_argument("--visualize", action="store_true",
+                   help="save a sample-batch grid PNG before training")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (debug)")
     p.add_argument("--seed", type=int, default=42)
@@ -126,6 +131,17 @@ def main(argv=None, shared=None):
     train_ds, test_ds = get_dataloaders(config, seed=args.seed)
     if not args.quiet:
         print(f"Data: {train_ds.num_samples} train / {test_ds.num_samples} test")
+    if args.visualize:
+        from efficient_rpe_vit_tpu.data.datasets import visualize_batch
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        imgs, labs = next(iter(train_ds))
+        path = visualize_batch(
+            imgs, labs,
+            os.path.join(args.output_dir, f"{args.dataset}_sample_batch.png"),
+        )
+        if not args.quiet:
+            print(f"Sample batch written to {path}")
 
     if shared is not None and shared.get("model") is not None:
         model = shared["model"]
