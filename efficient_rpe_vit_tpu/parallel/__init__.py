@@ -1,4 +1,5 @@
 from .mesh import make_mesh, make_param_specs, shard_pytree, batch_spec
+from .seq_parallel import seq_parallel_linear_attention, ring_kerple_attention
 from .train_parallel import (
     make_parallel_train_step,
     create_sharded_train_state,
@@ -13,4 +14,6 @@ __all__ = [
     "make_parallel_train_step",
     "create_sharded_train_state",
     "parallel_train_epoch",
+    "seq_parallel_linear_attention",
+    "ring_kerple_attention",
 ]

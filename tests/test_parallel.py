@@ -126,3 +126,53 @@ def test_parallel_epoch(rng):
     state, metrics = parallel_train_epoch(state, step, ds, rng, mesh)
     assert metrics["samples"] == 64
     assert np.isfinite(metrics["loss"])
+
+
+def test_seq_parallel_linear_attention_exact(rng):
+    """Context-parallel linear attention == single-device oracle (the kv
+    summary is a psum — exact, not approximate)."""
+    from efficient_rpe_vit_tpu.ops import (
+        linear_attention, orthogonal_gaussian_features, phi_positive,
+    )
+    from efficient_rpe_vit_tpu.parallel.seq_parallel import (
+        seq_parallel_linear_attention,
+    )
+
+    B, H, N, D = 2, 2, 64, 16
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    q = jax.random.normal(k1, (B, H, N, D)) * 0.5
+    k = jax.random.normal(k2, (B, H, N, D)) * 0.5
+    v = jax.random.normal(k3, (B, H, N, D))
+    omega = orthogonal_gaussian_features(k4, H, D, 44)
+    qp, kp = phi_positive(q, omega), phi_positive(k, omega)
+
+    want = linear_attention(qp, kp, v)
+    mesh = make_mesh()  # 8-way over 'data'
+    got = seq_parallel_linear_attention(qp, kp, v, mesh, axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        seq_parallel_linear_attention(qp[:, :, :30], kp[:, :, :30],
+                                      v[:, :, :30], mesh)
+
+
+def test_ring_kerple_attention_exact(rng):
+    """Ring KERPLE over 8 shards == single-device dense oracle."""
+    from efficient_rpe_vit_tpu.ops import kerple_linear_attention
+    from efficient_rpe_vit_tpu.parallel.seq_parallel import (
+        ring_kerple_attention,
+    )
+
+    B, H, N, F, D = 2, 2, 64, 12, 16
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    qp = jnp.abs(jax.random.normal(k1, (B, H, N, F))) * 0.2
+    kp = jnp.abs(jax.random.normal(k2, (B, H, N, F))) * 0.2
+    v = jax.random.normal(k3, (B, H, N, D))
+    coeffs = jnp.exp(jax.random.normal(k4, (H, 2 * N - 1)) * 0.05)
+
+    want = kerple_linear_attention(qp, kp, v, coeffs, method="dense")
+    mesh = make_mesh()
+    got = ring_kerple_attention(qp, kp, v, coeffs, mesh, axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
