@@ -34,14 +34,19 @@ EPS = 1e-6  # denominator stabiliser (reference: favor_plus.py:260)
 
 # Below this sequence length the masked-matmul KERPLE path wins on TPU.
 KERPLE_DENSE_CROSSOVER_N = 256
-# Above this sequence length the fused Pallas kernel beats the XLA dense
-# path (it never materialises the [B,H,N,N] weights in HBM). Below it, the
-# whole problem fits in one XLA fusion anyway and kernel padding dominates.
-# Measured on v5e at seq 197 / bs 256: fused KERPLE 2.45 -> 0.76 ms/step;
-# flash softmax only breaks even there (XLA's one-fusion softmax is already
-# good at N~200), so its threshold is higher.
-PALLAS_MIN_N = 128
-FLASH_MIN_N = 512
+# Dispatch thresholds, set from chained-dependency A/B measurements on a
+# real v5e chip (cross-run pool noise is 2-3x; only same-process chained
+# loops are trustworthy):
+#   KERPLE grad, N=197 B=256 (F=44, D=16):  dense-XLA 2.49 ms,
+#       pallas fwd+XLA bwd 6.09 ms, pallas fwd+bwd 9.55 ms
+#   KERPLE grad, N=256 B=32 (F=256, D=64):  dense-XLA 3.66 ms,
+#       pallas 5.10 / 6.66 ms
+# XLA's fusions win at every ViT-relevant shape — the Pallas kernels' lane
+# padding (D,F -> 128) costs more than the HBM traffic they save. They
+# remain available via method="pallas" (useful reference kernels, and the
+# right starting point if head dims grow past 128), but 'auto' never picks
+# them. Long sequences route to the O(N log N) FFT path instead.
+FLASH_MIN_N = 10**9  # flash kernel: explicit opt-in only (same rationale)
 
 
 def _pallas_ok() -> bool:
@@ -136,10 +141,7 @@ def kerple_linear_attention(q_prime, k_prime, v, coeffs, method: str = "auto",
     """
     n = q_prime.shape[2]
     if method == "auto":
-        if n >= PALLAS_MIN_N and _pallas_ok():
-            method = "pallas"
-        else:
-            method = "dense" if n < KERPLE_DENSE_CROSSOVER_N else "fft"
+        method = "dense" if n < KERPLE_DENSE_CROSSOVER_N else "fft"
     if method == "pallas":
         from .fft_toeplitz import toeplitz_from_coeffs
         from .pallas import fused_masked_linear_attention

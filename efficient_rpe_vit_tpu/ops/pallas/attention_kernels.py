@@ -68,7 +68,7 @@ def _pad_axis(x, axis: int, target: int):
 # Kernel 1: fused Toeplitz-masked linear attention (KERPLE dense path)
 # ════════════════════════════════════════════════════════════════════════
 
-def _masked_linear_kernel(q_ref, k_ref, v_ref, t_ref, o_ref,
+def _masked_linear_kernel(q_ref, k_ref, v_ref, t_ref, o_ref, d_ref,
                           acc_ref, den_ref, *, n_kv_tiles: int):
     """One (b, h, iq, jk) cell: accumulate w = (q k^T) * T into out/den."""
     jk = pl.program_id(3)
@@ -92,6 +92,7 @@ def _masked_linear_kernel(q_ref, k_ref, v_ref, t_ref, o_ref,
     @pl.when(jk == n_kv_tiles - 1)
     def _store():
         o_ref[0, 0] = (acc_ref[...] / (den_ref[...] + EPS)).astype(o_ref.dtype)
+        d_ref[0, 0] = den_ref[...]  # residual for the fused backward
 
 
 def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q: int,
@@ -111,9 +112,12 @@ def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q: int,
     n_kv_tiles = Np // block_kv
 
     grid = (B, H, n_q_tiles, n_kv_tiles)
-    out = pl.pallas_call(
+    out, den = pl.pallas_call(
         functools.partial(_masked_linear_kernel, n_kv_tiles=n_kv_tiles),
-        out_shape=jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
+            jax.ShapeDtypeStruct((B, H, Np, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Fp), lambda b, h, i, j: (b, h, i, 0)),
@@ -121,8 +125,9 @@ def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q: int,
             pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec((1, block_q, block_kv), lambda b, h, i, j: (h, i, j)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, Dp), jnp.float32),
@@ -138,7 +143,7 @@ def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q: int,
         ),
         interpret=interpret,
     )(qp, kp, vp, Tp)
-    return out[:, :, :N, :D]
+    return out[:, :, :N, :D], den[:, :, :N, 0]
 
 
 def _masked_linear_reference(q_prime, k_prime, v, T):
@@ -166,24 +171,61 @@ def fused_masked_linear_attention(q_prime, k_prime, v, T,
     Returns:
         [B, H, N, D].
     """
-    return _masked_linear_fwd_impl(
+    out, _ = _masked_linear_fwd_impl(
         q_prime, k_prime, v, T,
         block_q=block_q, block_kv=block_kv, interpret=interpret,
     )
+    return out
 
 
 def _fml_fwd(q_prime, k_prime, v, T, block_q, block_kv, interpret):
-    out = _masked_linear_fwd_impl(
+    out, den = _masked_linear_fwd_impl(
         q_prime, k_prime, v, T,
         block_q=block_q, block_kv=block_kv, interpret=interpret,
     )
-    return out, (q_prime, k_prime, v, T)
+    return out, (q_prime, k_prime, v, T, den, out)
+
+
+# Backward strategy. 'jnp_residual' computes the explicit VJP formulas in
+# XLA from saved (den, out) residuals — measured fastest at ViT head dims
+# (D=16, F=44), where Pallas tile padding to 128 lanes multiplies the
+# backward's matmul work ~3-8x across its three kernels. 'pallas' switches
+# to the fully-fused masked_linear_bwd kernels (wins when D,F ~ 128).
+MASKED_LINEAR_BWD_MODE = "jnp_residual"
+
+
+def _masked_linear_bwd_jnp(q_prime, k_prime, v, T, den, out, g):
+    """Explicit VJP from residuals (no forward recompute):
+    dW = (gn v^T - s), dA = dW*T, dT = sum_b dW*A,
+    dq' = dA k', dk' = dA^T q', dv = W^T gn."""
+    gn = (g / (den[..., None] + EPS)).astype(jnp.float32)
+    s = jnp.sum(g * out, axis=-1) / (den + EPS)  # [B,H,N]
+    A = jnp.einsum("bhif,bhjf->bhij", q_prime, k_prime,
+                   preferred_element_type=jnp.float32)
+    M = jnp.einsum("bhid,bhjd->bhij", gn, v.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    dW = M - s[..., None]
+    dA = dW * T[None]
+    dT = jnp.sum(dW * A, axis=0)  # [H,N,N]
+    dq = jnp.einsum("bhij,bhjf->bhif", dA, k_prime,
+                    preferred_element_type=jnp.float32).astype(q_prime.dtype)
+    dk = jnp.einsum("bhij,bhif->bhjf", dA, q_prime,
+                    preferred_element_type=jnp.float32).astype(k_prime.dtype)
+    dv = jnp.einsum("bhij,bhid->bhjd", A * T[None], gn,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    return dq, dk, dv, dT.astype(T.dtype)
 
 
 def _fml_bwd(block_q, block_kv, interpret, residuals, g):
-    q_prime, k_prime, v, T = residuals
-    _, vjp = jax.vjp(_masked_linear_reference, q_prime, k_prime, v, T)
-    return vjp(g)
+    q_prime, k_prime, v, T, den, out = residuals
+    if MASKED_LINEAR_BWD_MODE == "pallas":
+        from .masked_linear_bwd import masked_linear_bwd
+
+        return masked_linear_bwd(
+            q_prime, k_prime, v, T, den, out, g,
+            block_q=block_q, block_kv=block_kv, interpret=interpret,
+        )
+    return _masked_linear_bwd_jnp(q_prime, k_prime, v, T, den, out, g)
 
 
 fused_masked_linear_attention.defvjp(_fml_fwd, _fml_bwd)
