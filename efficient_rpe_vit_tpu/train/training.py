@@ -250,7 +250,11 @@ def evaluate(
 
         preds = jnp.concatenate(all_preds)
         labels = jnp.concatenate(all_labels)
-        out.update(compute_classification_metrics(preds, labels, num_classes))
+        detail = compute_classification_metrics(preds, labels, num_classes)
+        # keep the percentage-scale accuracy computed above; the detailed
+        # dict's 'accuracy' is a 0-1 fraction and must not clobber it
+        detail.pop("accuracy", None)
+        out.update(detail)
     return out
 
 

@@ -54,7 +54,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save-model", action="store_true")
     p.add_argument("--save-metrics", action="store_true", default=True)
-    p.add_argument("--save-plots", action="store_true")
+    p.add_argument("--save-plots", "--plot", dest="save_plots",
+                   action="store_true")
     p.add_argument("--output-dir", type=str, default="results")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume from")

@@ -233,3 +233,14 @@ def test_information_criteria():
     assert out["log_likelihood"] == pytest.approx(-50.0)
     assert out["aic"] == pytest.approx(2 * 10 + 100.0)
     assert out["bic"] == pytest.approx(10 * np.log(100) + 100.0)
+
+
+def test_evaluate_detailed_keeps_percentage_accuracy(setup):
+    """Regression: detailed metrics must not clobber the %-scale accuracy."""
+    cfg, model, state = setup
+    eval_step = make_eval_step(model)
+    ds = _dummy_dataset(n=32)
+    plain = evaluate(state, eval_step, ds)
+    detailed = evaluate(state, eval_step, ds, num_classes=10, detailed=True)
+    assert detailed["accuracy"] == pytest.approx(plain["accuracy"], abs=1e-6)
+    assert detailed["accuracy"] > 1.0 or plain["accuracy"] <= 1.0  # % scale
