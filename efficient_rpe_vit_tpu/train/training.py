@@ -13,6 +13,7 @@ timing uses `jax.block_until_ready` as the synchronisation barrier
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -131,10 +132,15 @@ def cross_entropy_loss(logits, labels):
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
 
 
-def make_train_step(model) -> Callable:
-    """Build the jitted train step: fwd + bwd + update + metrics, one program."""
+def make_train_step(model, donate: bool = False) -> Callable:
+    """Build the jitted train step: fwd + bwd + update + metrics, one program.
 
-    @jax.jit
+    `donate` hands the input TrainState's buffers to XLA for in-place reuse
+    (halves peak param/optimizer memory churn). Callers that need the old
+    state after stepping should pass donate=False.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, images, labels, dropout_key):
         def loss_fn(params):
             variables = {"params": params}

@@ -67,7 +67,10 @@ def parse_args(argv=None):
     p.add_argument("--bench-iters", type=int, default=100)
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of epoch 1 into DIR "
-                        "(view with TensorBoard / xprof)")
+                        "(view with TensorBoard / xprof). Requires a "
+                        "profiler-capable backend: works on CPU/direct TPU; "
+                        "remote-tunnelled chips may block on trace start — "
+                        "combine with --cpu if unsure")
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--quiet", action="store_true")
@@ -171,7 +174,8 @@ def main(argv=None, shared=None):
         train_step = shared["train_step"]
         eval_step = shared["eval_step"]
     else:
-        train_step = make_train_step(model)
+        # donate=True: each step consumes the previous state's buffers
+        train_step = make_train_step(model, donate=True)
         eval_step = make_eval_step(model)
         if shared is not None:
             shared["train_step"] = train_step
@@ -187,17 +191,27 @@ def main(argv=None, shared=None):
     t_train0 = time.perf_counter()
     for epoch in range(start_epoch, config.train.epochs + 1):
         rng, epoch_key = jax.random.split(rng)
-        # tracing/profiling tier (SURVEY.md §5.1): one traced epoch
+        # tracing/profiling tier (SURVEY.md §5.1): one traced epoch.
+        # Gated: experimental backends (e.g. remote-tunnelled chips) may not
+        # support the profiler — degrade to a warning, never hang the run.
+        profiling = False
         if args.profile and epoch == start_epoch:
-            jax.profiler.start_trace(args.profile)
+            try:
+                jax.profiler.start_trace(args.profile)
+                profiling = True
+            except Exception as e:  # pragma: no cover - backend dependent
+                print(f"[warn] profiler unavailable on this backend: {e}")
         state, tm = train_epoch(
             state, train_step, train_ds, epoch_key, epoch=epoch,
             log_interval_frac=args.log_interval, verbose=not args.quiet,
         )
-        if args.profile and epoch == start_epoch:
-            jax.profiler.stop_trace()
-            if not args.quiet:
-                print(f"Profiler trace written to {args.profile}")
+        if profiling:
+            try:
+                jax.profiler.stop_trace()
+                if not args.quiet:
+                    print(f"Profiler trace written to {args.profile}")
+            except Exception as e:  # pragma: no cover
+                print(f"[warn] profiler stop failed: {e}")
         em = evaluate(state, eval_step, test_ds)
         per_epoch.append({
             "epoch": epoch,
