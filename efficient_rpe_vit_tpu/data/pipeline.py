@@ -31,8 +31,14 @@ def normalize_images(images_u8, mean, std):
 
 def _rotate_bilinear(img, angle):
     """Rotate one [H, W, C] image by `angle` radians about its centre with
-    bilinear resampling (zero padding) — jit-friendly, static shapes."""
-    H, W = img.shape[0], img.shape[1]
+    bilinear resampling (zero padding).
+
+    TPU note: uses FLAT jnp.take gathers over the (H*W) axis — 2D advanced
+    indexing under vmap lowers to a pathological gather on some TPU
+    toolchains (observed: compile never finishes on a remote-compile
+    backend), while a rank-1 take is the standard supported gather.
+    """
+    H, W, C = img.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
@@ -44,20 +50,29 @@ def _rotate_bilinear(img, angle):
     wy = src_y - y0
     wx = src_x - x0
 
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        yc = jnp.clip(yi, 0, H - 1)
-        xc = jnp.clip(xi, 0, W - 1)
-        vals = img[yc, xc]  # [H, W, C]
-        return jnp.where(valid[..., None], vals, 0.0)
+    # Gather-free formulation: build the [H*W, H*W] bilinear interpolation
+    # matrix from one-hot comparisons and apply it as ONE matmul — gathers
+    # (2D advanced indexing, flat takes, under vmap) all failed to compile
+    # on the remote TPU toolchain, while this lowers to plain VPU compares
+    # + an MXU matmul. At 28x28 the matrix is 784^2 fp32 = 2.5 MB.
+    HW = H * W
+    q_iota = jnp.arange(HW, dtype=jnp.int32)[None, :]  # [1, HW]
 
-    out = (
-        gather(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
-        + gather(y0, x0 + 1) * ((1 - wy) * wx)[..., None]
-        + gather(y0 + 1, x0) * (wy * (1 - wx))[..., None]
-        + gather(y0 + 1, x0 + 1) * (wy * wx)[..., None]
-    )
-    return out
+    def corner(yi, xi, w):
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        idx = (jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)).reshape(-1)
+        weight = jnp.where(valid, w, 0.0).reshape(-1)  # [HW]
+        return (q_iota == idx[:, None]).astype(jnp.float32) * weight[:, None]
+
+    Wmat = (
+        corner(y0, x0, (1 - wy) * (1 - wx))
+        + corner(y0, x0 + 1, (1 - wy) * wx)
+        + corner(y0 + 1, x0, wy * (1 - wx))
+        + corner(y0 + 1, x0 + 1, wy * wx)
+    )  # [HW, HW]
+    out = jnp.dot(Wmat, img.reshape(HW, C),
+                  preferred_element_type=jnp.float32)
+    return out.reshape(H, W, C)
 
 
 def augment_mnist(images, key):

@@ -18,12 +18,17 @@ Numerics: all accumulation fp32 (`preferred_element_type`); padded KV
 columns are masked with -0.7*float_max in the softmax kernel and contribute
 exact zeros in the masked-linear kernel (zero-padded phi(k) rows).
 
-Backward passes use jax.custom_vjp with a recompute-from-residuals jnp
-reference VJP — numerically identical gradients, with the forward's HBM
-savings retained (the backward recompute stays inside one XLA program).
+Backward passes use jax.custom_vjp with explicit-formula VJPs from saved
+(den, out) residuals — either in XLA (`MASKED_LINEAR_BWD_MODE =
+"jnp_residual"`, the measured default) or via the fully-fused Pallas
+kernels in masked_linear_bwd.py ("pallas"). Gradients match the direct
+jnp derivative bit-close in tests.
 
 Both launchers pad (N, F, D) up to lane/sublane multiples and slice the
-result; tests run the kernels in interpret mode on CPU.
+result; tests run the kernels in interpret mode on CPU. NOTE on dispatch:
+chained-A/B measurements (see ops/attention_core.py) showed XLA's fused
+dense path beats these kernels at ViT-scale head dims, so `auto` never
+selects them — they are explicit opt-ins and reference implementations.
 """
 
 from __future__ import annotations
@@ -144,17 +149,6 @@ def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q: int,
         interpret=interpret,
     )(qp, kp, vp, Tp)
     return out[:, :, :N, :D], den[:, :, :N, 0]
-
-
-def _masked_linear_reference(q_prime, k_prime, v, T):
-    """jnp oracle (identical math to ops.attention_core._kerple_dense)."""
-    A = jnp.einsum("bhif,bhjf->bhij", q_prime, k_prime,
-                   preferred_element_type=jnp.float32)
-    w = A * T[None]
-    num = jnp.einsum("bhij,bhjd->bhid", w, v.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    den = jnp.sum(w, axis=-1)
-    return (num / (den[..., None] + EPS)).astype(v.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

@@ -125,9 +125,10 @@ def main(argv=None, shared=None):
         compute_dtype=args.compute_dtype,
     )
 
-    info = get_model_info(args.model) if args.model in __import__(
-        "efficient_rpe_vit_tpu.models", fromlist=["MODEL_VARIANTS"]
-    ).MODEL_VARIANTS else {"name": args.model}
+    from efficient_rpe_vit_tpu.models import MODEL_VARIANTS
+
+    info = (get_model_info(args.model) if args.model in MODEL_VARIANTS
+            else {"name": args.model})
     if not args.quiet:
         print(f"Model: {args.model} {info}")
         print(f"Backend: {jax.default_backend()} devices: {jax.devices()}")
