@@ -39,6 +39,8 @@ def parse_args(argv=None):
                    help="explicit seeds; default 42+111*i")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--compute-dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"])
     p.add_argument("--output-dir", type=str, default=None,
                    help="default results/benchmark_{dataset}_{timestamp}")
     p.add_argument("--skip-existing", action="store_true",
@@ -79,6 +81,8 @@ def run_single_training(model: str, seed: int, run_dir: str, args,
         cli += ["--epochs", str(args.epochs)]
     if args.batch_size is not None:
         cli += ["--batch-size", str(args.batch_size)]
+    if args.compute_dtype is not None:
+        cli += ["--compute-dtype", args.compute_dtype]
 
     if args.subprocess:
         script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -121,6 +125,7 @@ def main(argv=None):
     save_benchmark_config(out_dir, {
         "models": args.models, "dataset": args.dataset, "seeds": seeds,
         "epochs": args.epochs, "batch_size": args.batch_size,
+        "compute_dtype": args.compute_dtype,
         "timestamp": datetime.now().isoformat(),
     })
     print(f"Benchmark -> {out_dir} (models={args.models}, seeds={seeds})")

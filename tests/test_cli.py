@@ -109,3 +109,20 @@ def test_benchmark_cli_rejects_unknown_model(tmp_path):
             "--models", "not_a_model", "--dataset", "mnist",
             "--output-dir", str(tmp_path),
         ])
+
+
+def test_import_torch_shape_mismatch():
+    """The checkpoint-import tool rejects mismatched architectures loudly."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.utils.import_torch import state_dict_to_params
+
+    cfg = mnist_config()
+    model = create_model("baseline", cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 28, 28, 1)))
+    sd = {"patch_embedding.weight": np.zeros((99, 49), np.float32)}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        state_dict_to_params(sd, v["params"])
