@@ -152,6 +152,7 @@ class CirculantStringRPE(nn.Module):
     heads: int
     coord_dim: int = 2
     block_size: Optional[int] = None
+    enable_block_circulant: bool = False
     image_size: Optional[int] = None  # accepted for factory parity; unused
     patch_size: Optional[int] = None
 
@@ -160,24 +161,37 @@ class CirculantStringRPE(nn.Module):
         return self.dim // self.heads
 
     def setup(self):
+        self._blocked = False
         if self.block_size is not None:
             if self.head_dim % self.block_size != 0:
                 raise ValueError(
                     f"head_dim ({self.head_dim}) must be divisible by "
                     f"block_size ({self.block_size})"
                 )
-            # Reference stubs block-circulant and falls back with a warning
-            # (circulant_string.py:127-144). We do the same for parity.
-            warnings.warn(
-                f"block_size={self.block_size} specified but block-circulant "
-                "optimisation not yet implemented; using full-dimension "
-                "circulant.",
-                UserWarning,
-            )
+            if self.enable_block_circulant:
+                # Real block-circulant structure (the STRING paper's sweep;
+                # stubbed as future work in the reference,
+                # circulant_string.py:377-398). Same parameter count,
+                # smaller per-block FFTs.
+                self._blocked = True
+            else:
+                # Reference behaviour for bare block_size: warn + fall back
+                # (circulant_string.py:127-144) — kept for parity.
+                warnings.warn(
+                    f"block_size={self.block_size} specified but "
+                    "enable_block_circulant is False; using full-dimension "
+                    "circulant (reference-compatible fallback). Pass "
+                    "enable_block_circulant=True to use the real "
+                    "block-circulant structure.",
+                    UserWarning,
+                )
+        if self._blocked:
+            shape = (self.heads, self.coord_dim,
+                     self.head_dim // self.block_size, self.block_size)
+        else:
+            shape = (self.heads, self.coord_dim, self.head_dim)
         self.circulant_coeffs = self.param(
-            "circulant_coeffs",
-            nn.initializers.normal(stddev=0.01),
-            (self.heads, self.coord_dim, self.head_dim),
+            "circulant_coeffs", nn.initializers.normal(stddev=0.01), shape
         )
         self._positions = grid_positions_2d(self.num_patches - 1, self.coord_dim)
 
@@ -188,6 +202,24 @@ class CirculantStringRPE(nn.Module):
 
     def rotate(self, q, k):
         """Rotate q/k patch tokens; CLS passes through."""
+        if self._blocked:
+            from ..ops.rotations import apply_block_circulant_rotation
+
+            if q.shape[2] <= 1:
+                return q, k
+            import jax.numpy as jnp
+
+            q_rot = jnp.concatenate(
+                [q[:, :, :1], apply_block_circulant_rotation(
+                    q[:, :, 1:], self._positions, self.circulant_coeffs)],
+                axis=2,
+            )
+            k_rot = jnp.concatenate(
+                [k[:, :, :1], apply_block_circulant_rotation(
+                    k[:, :, 1:], self._positions, self.circulant_coeffs)],
+                axis=2,
+            )
+            return q_rot, k_rot
         return apply_circulant_string(q, k, self._positions, self.circulant_coeffs)
 
     def __call__(self, x):  # BaseRPE-interface no-op

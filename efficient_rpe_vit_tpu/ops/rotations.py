@@ -184,6 +184,44 @@ def apply_circulant_rotation(x, positions, coeffs):
     return x_rot.astype(x.dtype)
 
 
+def apply_block_circulant_rotation(x, positions, coeffs):
+    """Block-circulant STRING rotation: head_dim is split into independent
+    circulant blocks, each with its own generator.
+
+    The optimisation the STRING paper sweeps (block sizes {4..64}, optimal
+    often ~16) and which the reference stubs as future work
+    (circulant_string.py:377-398) — implemented here. Same parameter count
+    as full-dimension circulant (num_blocks * block_size = head_dim) but
+    smaller FFTs and block-localised mixing.
+
+    Args:
+        x: [B, H, N, D] patch tokens.
+        positions: [N, coord_dim].
+        coeffs: [H, coord_dim, num_blocks, block_size] with
+            num_blocks * block_size == D.
+    Returns:
+        [B, H, N, D] rotated.
+    """
+    B, H, N, D = x.shape
+    nb, bs = coeffs.shape[-2], coeffs.shape[-1]
+    if nb * bs != D:
+        raise ValueError(
+            f"num_blocks*block_size = {nb}*{bs} != head_dim {D}"
+        )
+    pos = jnp.asarray(positions, dtype=jnp.float32)
+    k = np.arange(bs // 2 + 1, dtype=np.float32)
+    d = np.arange(bs, dtype=np.float32)
+    sin_dft = jnp.asarray(-np.sin(2 * np.pi * k[:, None] * d[None, :] / bs))
+    # Im(FFT(c_block))_k per (head, coord, block)
+    im_fft = jnp.einsum("hcgd,kd->hcgk", coeffs.astype(jnp.float32), sin_dft)
+    theta = 2.0 * jnp.einsum("nc,hcgk->hngk", pos, im_fft)  # [H,N,nb,k]
+    rot = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    xb = x.astype(jnp.float32).reshape(B, H, N, nb, bs)
+    x_freq = jnp.fft.rfft(xb, axis=-1)
+    x_rot = jnp.fft.irfft(rot[None] * x_freq, n=bs, axis=-1)
+    return x_rot.reshape(B, H, N, D).astype(x.dtype)
+
+
 def apply_circulant_string(q, k, positions, coeffs):
     """Rotate patch tokens of q and k; CLS (index 0) passes through unchanged
     (reference: circulant_string.py:297-341)."""
