@@ -50,11 +50,17 @@ def _state_specs(state: TrainState, mesh: Mesh):
         if state.constants is not None
         else None
     )
+    mstate_specs = (
+        jax.tree_util.tree_map(lambda x: P(), state.mutable_state)
+        if state.mutable_state is not None
+        else None
+    )
     return state.replace(
         step=P(),
         params=param_specs,
         opt_state=opt_specs,
         constants=const_specs,
+        mutable_state=mstate_specs,
     )
 
 
@@ -81,6 +87,12 @@ def create_sharded_train_state(
         constants=(
             jax.tree_util.tree_map(put, state.constants, specs.constants)
             if state.constants is not None
+            else None
+        ),
+        mutable_state=(
+            jax.tree_util.tree_map(put, state.mutable_state,
+                                   specs.mutable_state)
+            if state.mutable_state is not None
             else None
         ),
     )
@@ -111,6 +123,10 @@ def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
         tx=specs.tx,
         constants=(
             to_shardings(specs.constants) if specs.constants is not None else None
+        ),
+        mutable_state=(
+            to_shardings(specs.mutable_state)
+            if specs.mutable_state is not None else None
         ),
     )
 

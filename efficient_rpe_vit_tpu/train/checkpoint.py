@@ -30,6 +30,8 @@ def save_checkpoint(
         "params": state.params,
         "opt_state": state.opt_state,
         "constants": state.constants if state.constants is not None else {},
+        "mutable_state": (state.mutable_state
+                          if state.mutable_state is not None else {}),
     }
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(payload))
@@ -56,6 +58,8 @@ def load_checkpoint(path: str, state) -> Tuple[Any, Dict[str, Any]]:
         "params": state.params,
         "opt_state": state.opt_state,
         "constants": state.constants if state.constants is not None else {},
+        "mutable_state": (state.mutable_state
+                          if state.mutable_state is not None else {}),
     }
     restored = serialization.from_bytes(template, raw)
     new_state = state.replace(
@@ -63,6 +67,8 @@ def load_checkpoint(path: str, state) -> Tuple[Any, Dict[str, Any]]:
         params=restored["params"],
         opt_state=restored["opt_state"],
         constants=restored["constants"] if state.constants is not None else None,
+        mutable_state=(restored["mutable_state"]
+                       if state.mutable_state is not None else None),
     )
     meta_path = path + ".meta.json"
     meta: Dict[str, Any] = {}

@@ -31,6 +31,7 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     constants: Any = None  # non-trainable variables (e.g. omega)
+    mutable_state: Any = None  # 'state' collection (feature-redraw counters)
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -108,6 +109,7 @@ def create_train_state(model, config, rng, sample_input,
     variables = model.init({"params": rng}, sample_input, deterministic=True)
     params = variables["params"]
     constants = variables.get("constants")
+    mutable_state = variables.get("state")
     schedule = create_lr_scheduler(
         config.train.scheduler,
         config.train.learning_rate,
@@ -124,6 +126,7 @@ def create_train_state(model, config, rng, sample_input,
         opt_state=tx.init(params),
         tx=tx,
         constants=constants,
+        mutable_state=mutable_state,
     )
 
 
@@ -142,21 +145,41 @@ def make_train_step(model, donate: bool = False) -> Callable:
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, images, labels, dropout_key):
+        # A 'state' collection exists only when a module keeps mutable
+        # training-time state (e.g. FAVOR+ feature-redraw counters); in
+        # that mode the apply also threads a 'features' rng and returns
+        # updated collections.
+        redraw_mode = state.mutable_state is not None
+
         def loss_fn(params):
             variables = {"params": params}
             if state.constants is not None:
                 variables["constants"] = state.constants
-            logits = model.apply(
-                variables, images, deterministic=False,
-                rngs={"dropout": dropout_key},
-            )
+            rngs = {"dropout": dropout_key}
+            if redraw_mode:
+                variables["state"] = state.mutable_state
+                rngs["features"] = jax.random.fold_in(dropout_key, 1)
+                logits, updates = model.apply(
+                    variables, images, deterministic=False, rngs=rngs,
+                    mutable=["constants", "state"],
+                )
+            else:
+                logits = model.apply(
+                    variables, images, deterministic=False, rngs=rngs,
+                )
+                updates = None
             loss = cross_entropy_loss(logits, labels)
-            return loss, logits
+            return loss, (logits, updates)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (logits, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         new_state = state.apply_gradients(grads)
+        if redraw_mode:
+            new_state = new_state.replace(
+                constants=updates.get("constants", new_state.constants),
+                mutable_state=updates.get("state", new_state.mutable_state),
+            )
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return new_state, loss, correct
 

@@ -244,3 +244,40 @@ def test_evaluate_detailed_keeps_percentage_accuracy(setup):
     detailed = evaluate(state, eval_step, ds, num_classes=10, detailed=True)
     assert detailed["accuracy"] == pytest.approx(plain["accuracy"], abs=1e-6)
     assert detailed["accuracy"] > 1.0 or plain["accuracy"] <= 1.0  # % scale
+
+
+def test_feature_redraw_in_train_loop(rng):
+    """Feature redraw must work through the REAL train step (mutable
+    collections + 'features' rng threaded automatically; regression for a
+    gap where it only worked in direct module apply)."""
+    cfg = mnist_config()
+    model = create_model(
+        "performer_favor", cfg,
+        attention_config={"feature_redraw_interval": 2},
+    )
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    assert state.mutable_state is not None
+    step = make_train_step(model)
+    omega0 = state.constants["block_0"]["attention"]["omega"]
+    x = jax.random.normal(rng, (4, 28, 28, 1))
+    y = jnp.arange(4) % 10
+    # step 1: counter 0 % 2 == 0 -> redraw happens
+    state, loss, _ = step(state, x, y, jax.random.PRNGKey(1))
+    omega1 = state.constants["block_0"]["attention"]["omega"]
+    assert float(jnp.abs(omega1 - omega0).max()) > 1e-3
+    assert int(state.mutable_state["block_0"]["attention"]["redraw_counter"]) == 1
+    # step 2: counter 1 % 2 != 0 -> omega unchanged
+    state, loss, _ = step(state, x, y, jax.random.PRNGKey(2))
+    omega2 = state.constants["block_0"]["attention"]["omega"]
+    np.testing.assert_allclose(np.asarray(omega1), np.asarray(omega2))
+    assert np.isfinite(float(loss))
+    # checkpoint round-trips the mutable state
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.msgpack")
+        save_checkpoint(path, state, epoch=1)
+        fresh = create_train_state(model, cfg, jax.random.PRNGKey(9),
+                                   jnp.zeros((2, 28, 28, 1)))
+        restored, _ = load_checkpoint(path, fresh)
+        assert int(restored.mutable_state["block_0"]["attention"]
+                   ["redraw_counter"]) == 2
