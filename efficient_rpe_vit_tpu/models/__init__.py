@@ -3,6 +3,7 @@ from .attention import (
     SoftmaxAttention,
     FavorPlusAttention,
     ReluAttention,
+    FavorHyperAttention,
     ATTENTION_REGISTRY,
 )
 from .layers import Mlp, TransformerBlock
@@ -22,6 +23,7 @@ __all__ = [
     "SoftmaxAttention",
     "FavorPlusAttention",
     "ReluAttention",
+    "FavorHyperAttention",
     "ATTENTION_REGISTRY",
     "Mlp",
     "TransformerBlock",

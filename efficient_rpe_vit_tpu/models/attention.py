@@ -34,6 +34,7 @@ from ..ops import (
     phi_relu,
     softmax_attention,
 )
+from ..ops.feature_maps import phi_hyperbolic
 from .rpe import CirculantStringRPE, KerpleRPE, RoPE, RoPE2D
 
 
@@ -136,6 +137,8 @@ class _KernelAttention(nn.Module):
     def _phi(self, x, omega):
         if self.feature_kind == "favor_plus":
             return phi_positive(x, omega)
+        if self.feature_kind == "favor_hyper":
+            return phi_hyperbolic(x, omega)
         return phi_relu(x, omega)
 
     @nn.compact
@@ -224,6 +227,14 @@ class ReluAttention(_KernelAttention):
     feature_kind: str = "relu"
 
 
+class FavorHyperAttention(_KernelAttention):
+    """Positive hyperbolic random features (Performer paper Lemma 1) —
+    antithetic +/- projection pairs halve estimator variance at the same m.
+    New in this framework (no reference counterpart)."""
+
+    feature_kind: str = "favor_hyper"
+
+
 # name -> class, with aliases (reference: models/attention/__init__.py:16-23)
 ATTENTION_REGISTRY = {
     "softmax": SoftmaxAttention,
@@ -232,4 +243,5 @@ ATTENTION_REGISTRY = {
     "favor+": FavorPlusAttention,
     "performer": FavorPlusAttention,
     "relu": ReluAttention,
+    "favor_hyper": FavorHyperAttention,  # new: hyperbolic features
 }

@@ -74,6 +74,34 @@ def phi_positive(x, omega):
     return phi.astype(x.dtype)
 
 
+def phi_hyperbolic(x, omega):
+    """Positive hyperbolic random features (Performer paper, Lemma 1):
+
+    phi_hyp(x) = exp(-||x||^2/2) / sqrt(2m) * [exp(x@W); exp(-x@W)]
+
+    Uses both signs of each projection — an antithetic-variates pair that
+    halves estimator variance relative to phi+ at the same m (the feature
+    dimension doubles to 2m). Not present in the reference; provided as the
+    `favor_hyper` attention option.
+
+    Args:
+        x: [B, H, N, D].
+        omega: [H, D, M].
+    Returns:
+        [B, H, N, 2M] positive features.
+    """
+    m = omega.shape[-1]
+    proj = jnp.einsum("bhnd,hdf->bhnf", x, omega, preferred_element_type=jnp.float32)
+    stab = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(proj), axis=-1, keepdims=True)
+    )
+    x_norm_sq_half = jnp.sum(jnp.square(x), axis=-1, keepdims=True) / 2.0
+    pos = jnp.exp(proj - stab - x_norm_sq_half)
+    neg = jnp.exp(-proj - stab - x_norm_sq_half)
+    phi = jnp.concatenate([pos, neg], axis=-1) / math.sqrt(2 * m)
+    return phi.astype(x.dtype)
+
+
 def phi_relu(x, omega):
     """ReLU random features phi(x) = relu(x@Omega)/sqrt(m)
     (reference: relu.py:116-138). Naturally stable — no exp/max tricks.

@@ -126,3 +126,66 @@ def test_import_torch_shape_mismatch():
     sd = {"patch_embedding.weight": np.zeros((99, 49), np.float32)}
     with pytest.raises(ValueError, match="shape mismatch"):
         state_dict_to_params(sd, v["params"])
+
+
+def test_import_checkpoint_cli(tmp_path):
+    """torch reference checkpoint -> framework msgpack, logits match."""
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference unavailable")
+    sys.path.insert(0, "/root/reference")
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from configs.datasets.mnist import MNIST_CONFIG
+    from models.factory import create_model as ref_create_model
+
+    torch.manual_seed(0)
+    ref = ref_create_model("baseline", MNIST_CONFIG)
+    ref.eval()
+    ckpt = tmp_path / "ref.pt"
+    torch.save({"model_state_dict": ref.state_dict(), "epoch": 5,
+                "metrics": {"test_accuracy": 93.0}}, str(ckpt))
+
+    from experiments.import_checkpoint import main as import_main
+
+    out = tmp_path / "imported.msgpack"
+    import_main(["--torch-checkpoint", str(ckpt), "--model", "baseline",
+                 "--dataset", "mnist", "--output", str(out)])
+    assert out.exists()
+
+    # load it back and compare logits with the torch model
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.train import create_train_state, load_checkpoint
+
+    cfg = mnist_config()
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(1),
+                               jnp.zeros((2, 28, 28, 1)))
+    state, meta = load_checkpoint(str(out), state)
+    assert meta["epoch"] == 5
+    x = np.random.default_rng(0).normal(size=(2, 28, 28, 1)).astype(np.float32)
+    ours = np.asarray(model.apply({"params": state.params},
+                                  jnp.asarray(x), deterministic=True))
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-5, rtol=1e-3)
+
+
+def test_favor_hyper_variant(tmp_path):
+    """New favor_hyper attention trains and differs from favor_plus."""
+    import jax, jax.numpy as jnp
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+
+    cfg = mnist_config()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 28, 28, 1))
+    m_hyp = create_model("favor_hyper_rope", cfg)
+    v = m_hyp.init({"params": rng}, x, deterministic=True)
+    out = m_hyp.apply(v, x, deterministic=True)
+    assert out.shape == (2, 10)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # feature dim doubles: omega [H, D, m] -> phi produces 2m features
+    omega = v["constants"]["block_0"]["attention"]["omega"]
+    assert omega.shape == (2, 16, 44)
