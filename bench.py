@@ -44,7 +44,7 @@ def main():
     m = cfg.model
     sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
     state = create_train_state(model, cfg, rng, sample, steps_per_epoch=100)
-    train_step = make_train_step(model)
+    train_step = make_train_step(model, donate=True)
 
     images = jax.random.normal(rng, (BATCH, m.image_size, m.image_size,
                                      m.in_channels))

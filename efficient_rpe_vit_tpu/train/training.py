@@ -55,6 +55,12 @@ def create_lr_scheduler(
     (training.py:327-370): cosine | warmup_cosine | step | constant."""
     total_steps = max(1, epochs * steps_per_epoch)
     warmup_steps = warmup_epochs * steps_per_epoch
+    if scheduler == "cosine" and warmup_epochs > 0:
+        # The reference's cosine schedule becomes linear-warmup + cosine
+        # whenever warmup epochs are configured (training.py:349-360);
+        # mirror that so configs like CIFAR-10 (warmup_epochs=2) behave
+        # identically without naming a different scheduler.
+        scheduler = "warmup_cosine"
     if scheduler == "cosine":
         return optax.cosine_decay_schedule(learning_rate, total_steps)
     if scheduler == "warmup_cosine":

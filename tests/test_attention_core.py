@@ -150,3 +150,32 @@ def test_kerple_long_sequence_fft_path(rng):
     got = kerple_linear_attention(qp, kp, v, coeffs, method="auto")
     want = kerple_linear_attention(qp, kp, v, coeffs, method="dense")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_long_context_linear_and_kerple(rng):
+    """Long-sequence coverage (the algorithmic scaling story, SURVEY §5.7):
+    O(N) linear attention and the O(N log N) KERPLE FFT path at N=4096."""
+    B, H, N, F, D = 1, 1, 4096, 8, 8
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    qp = jnp.abs(jax.random.normal(k1, (B, H, N, F))) * 0.05
+    kp = jnp.abs(jax.random.normal(k2, (B, H, N, F))) * 0.05
+    v = jax.random.normal(k3, (B, H, N, D))
+    out = linear_attention(qp, kp, v)
+    assert out.shape == (B, H, N, D)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    coeffs = jnp.exp(jax.random.normal(k4, (H, 2 * N - 1)) * 0.01)
+    out_k = kerple_linear_attention(qp, kp, v, coeffs, method="auto")
+    assert out_k.shape == (B, H, N, D)  # auto -> fft at this length
+    assert bool(jnp.all(jnp.isfinite(out_k)))
+    # spot-check the fft path against dense on a slice-sized problem
+    small = 64
+    got = kerple_linear_attention(
+        qp[:, :, :small], kp[:, :, :small], v[:, :, :small],
+        coeffs[:, : 2 * small - 1], method="fft",
+    )
+    want = kerple_linear_attention(
+        qp[:, :, :small], kp[:, :, :small], v[:, :, :small],
+        coeffs[:, : 2 * small - 1], method="dense",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)

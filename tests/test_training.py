@@ -281,3 +281,12 @@ def test_feature_redraw_in_train_loop(rng):
         restored, _ = load_checkpoint(path, fresh)
         assert int(restored.mutable_state["block_0"]["attention"]
                    ["redraw_counter"]) == 2
+
+
+def test_cosine_auto_warmup():
+    """cosine + warmup_epochs>0 upgrades to linear-warmup+cosine, matching
+    the reference's scheduler behaviour (training.py:349-360)."""
+    sched = create_lr_scheduler("cosine", 1e-3, epochs=10, steps_per_epoch=10,
+                                warmup_epochs=2)
+    assert float(sched(0)) < 1e-4          # starts near zero
+    assert abs(float(sched(20)) - 1e-3) < 1e-4  # peaks at lr after warmup
