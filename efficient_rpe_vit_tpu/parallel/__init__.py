@@ -1,5 +1,9 @@
 from .mesh import make_mesh, make_param_specs, shard_pytree, batch_spec
-from .seq_parallel import seq_parallel_linear_attention, ring_kerple_attention
+from .seq_parallel import (
+    seq_parallel_linear_attention,
+    ring_kerple_attention,
+    ring_softmax_attention,
+)
 from .train_parallel import (
     make_parallel_train_step,
     create_sharded_train_state,
@@ -16,4 +20,5 @@ __all__ = [
     "parallel_train_epoch",
     "seq_parallel_linear_attention",
     "ring_kerple_attention",
+    "ring_softmax_attention",
 ]

@@ -80,6 +80,71 @@ def seq_parallel_linear_attention(q_prime, k_prime, v, mesh: Mesh,
     return fn(put(q_prime), put(k_prime), put(v))
 
 
+# ------------------------------------------------ ring softmax attention ---
+
+def _ring_softmax_body(q, k_local, v_local, *, axis_name: str,
+                       n_devices: int, scale: float):
+    """Ring softmax attention with cross-shard ONLINE-SOFTMAX statistics:
+    (k, v) blocks rotate via ppermute; each device keeps running max m,
+    normaliser l, and output accumulator o for its local queries, applying
+    the exp(m_old - m_new) correction as new blocks arrive — the flash
+    recurrence across devices instead of tiles."""
+    B, H, nl, D = q.shape
+    m = jnp.full((B, H, nl, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((B, H, nl, 1), jnp.float32)
+    o = jnp.zeros((B, H, nl, D), jnp.float32)
+    k_blk, v_blk = k_local, v_local
+    perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+
+    for step in range(n_devices):  # static unroll
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k_blk,
+                       preferred_element_type=jnp.float32) * scale
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        o = alpha * o + jnp.einsum("bhnm,bhmd->bhnd", p,
+                                   v_blk.astype(jnp.float32),
+                                   preferred_element_type=jnp.float32)
+        m = m_new
+        if step < n_devices - 1:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+    return (o / jnp.where(l == 0.0, 1.0, l)).astype(v_local.dtype)
+
+
+def ring_softmax_attention(q, k, v, scale: float, mesh: Mesh,
+                           axis: str = "data"):
+    """softmax(q k^T * scale) v with the sequence sharded over `axis`.
+
+    Ring attention (non-causal): per-device memory O((N/P)^2), per-step
+    communication O(N/P * D) point-to-point over the ring, overlapped with
+    compute by XLA. Numerically equal to single-device softmax attention
+    via the online-softmax correction.
+
+    Args:
+        q, k, v: [B, H, N, D]; N must divide the mesh axis size.
+    Returns:
+        [B, H, N, D].
+    """
+    n = q.shape[2]
+    p = mesh.shape[axis]
+    if n % p != 0:
+        raise ValueError(f"sequence length {n} not divisible by mesh axis "
+                         f"{axis!r} of size {p}")
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(
+        functools.partial(_ring_softmax_body, axis_name=axis, n_devices=p,
+                          scale=scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
+    return fn(put(q), put(k), put(v))
+
+
 # ------------------------------------------------- ring KERPLE attention ---
 
 def _ring_kerple_body(q_prime, k_prime, v, coeffs, *, axis_name: str,

@@ -176,3 +176,22 @@ def test_ring_kerple_attention_exact(rng):
     got = ring_kerple_attention(qp, kp, v, coeffs, mesh, axis="data")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_ring_softmax_attention_exact(rng):
+    """Ring softmax over 8 shards == single-device softmax attention (the
+    online-softmax correction across devices is exact)."""
+    from efficient_rpe_vit_tpu.ops import softmax_attention
+    from efficient_rpe_vit_tpu.parallel import ring_softmax_attention
+
+    B, H, N, D = 2, 2, 64, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D)) * 2.0  # large scale stresses m/l
+    k = jax.random.normal(k2, (B, H, N, D)) * 2.0
+    v = jax.random.normal(k3, (B, H, N, D))
+    scale = D ** -0.5
+    want = softmax_attention(q, k, v, scale)
+    mesh = make_mesh()
+    got = ring_softmax_attention(q, k, v, scale, mesh, axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
