@@ -195,3 +195,34 @@ def test_ring_softmax_attention_exact(rng):
     got = ring_softmax_attention(q, k, v, scale, mesh, axis="data")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_seq_parallel_ops_differentiable(rng):
+    """Gradients flow through psum/ppermute shard_map bodies (needed if a
+    training step ever runs context-parallel)."""
+    from efficient_rpe_vit_tpu.ops import kerple_linear_attention, linear_attention
+    from efficient_rpe_vit_tpu.parallel import (
+        ring_kerple_attention, seq_parallel_linear_attention,
+    )
+
+    B, H, N, F, D = 1, 2, 32, 8, 16
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    qp = jnp.abs(jax.random.normal(k1, (B, H, N, F))) * 0.2
+    kp = jnp.abs(jax.random.normal(k2, (B, H, N, F))) * 0.2
+    v = jax.random.normal(k3, (B, H, N, D))
+    coeffs = jnp.exp(jax.random.normal(k4, (H, 2 * N - 1)) * 0.05)
+    mesh = make_mesh()
+
+    g_par = jax.grad(lambda qp: jnp.sum(
+        seq_parallel_linear_attention(qp, kp, v, mesh) ** 2))(qp)
+    g_ref = jax.grad(lambda qp: jnp.sum(
+        linear_attention(qp, kp, v) ** 2))(qp)
+    np.testing.assert_allclose(np.asarray(g_par), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-4)
+
+    g_ring = jax.grad(lambda c: jnp.sum(
+        ring_kerple_attention(qp, kp, v, c, mesh) ** 2))(coeffs)
+    g_ring_ref = jax.grad(lambda c: jnp.sum(
+        kerple_linear_attention(qp, kp, v, c, method="dense") ** 2))(coeffs)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ring_ref),
+                               rtol=2e-3, atol=2e-4)
