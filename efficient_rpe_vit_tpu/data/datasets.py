@@ -34,14 +34,18 @@ _SEARCH_DIRS = [
 ]
 
 
-def _find_dir(*candidates: str) -> Optional[str]:
-    for base in _SEARCH_DIRS:
+def _find_dir(*candidates: str, data_dir: Optional[str] = None) -> Optional[str]:
+    bases = ([data_dir] if data_dir else []) + _SEARCH_DIRS
+    for base in bases:
         if not base:
             continue
         for cand in candidates:
             path = os.path.join(base, cand)
             if os.path.isdir(path):
                 return path
+    # an explicit data_dir may BE the dataset directory itself
+    if data_dir and os.path.isdir(data_dir):
+        return data_dir
     return None
 
 
@@ -75,8 +79,10 @@ def _synthetic(
     }
 
 
-def _load_mnist(allow_synthetic: bool) -> Dict[str, np.ndarray]:
-    raw = _find_dir(os.path.join("MNIST", "raw"), "mnist/raw", "mnist")
+def _load_mnist(allow_synthetic: bool,
+                data_dir: Optional[str] = None) -> Dict[str, np.ndarray]:
+    raw = _find_dir(os.path.join("MNIST", "raw"), "mnist/raw", "mnist",
+                    data_dir=data_dir)
     train = test = None
     if raw is not None:
         try:
@@ -124,8 +130,9 @@ def _load_mnist(allow_synthetic: bool) -> Dict[str, np.ndarray]:
     }
 
 
-def _load_cifar10(allow_synthetic: bool) -> Dict[str, np.ndarray]:
-    d = _find_dir("cifar-10-batches-py")
+def _load_cifar10(allow_synthetic: bool,
+                  data_dir: Optional[str] = None) -> Dict[str, np.ndarray]:
+    d = _find_dir("cifar-10-batches-py", data_dir=data_dir)
     if d is not None:
         train = read_cifar10_batches(d, [f"data_batch_{i}" for i in range(1, 6)])
         test = read_cifar10_batches(d, ["test_batch"])
@@ -154,13 +161,22 @@ def _load_cifar10(allow_synthetic: bool) -> Dict[str, np.ndarray]:
     raise FileNotFoundError("CIFAR-10 batches not found and synthetic disabled")
 
 
-def load_dataset(name: str, allow_synthetic: bool = True) -> Dict[str, np.ndarray]:
-    """Load a dataset by name -> dict of numpy arrays (images NHWC uint8)."""
+def load_dataset(name: str, allow_synthetic: bool = True,
+                 data_dir: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Load a dataset by name -> dict of numpy arrays (images NHWC uint8).
+
+    `data_dir` (e.g. from DataConfig.data_dir) is searched first, before
+    RPE_VIT_DATA_DIR and the default locations. An EXPLICIT data_dir also
+    disables the synthetic fallback: pointing at a directory signals intent
+    to train on real data, and silently substituting synthetic data would
+    produce bogus results."""
     name = name.lower()
+    if data_dir is not None:
+        allow_synthetic = False
     if name == "mnist":
-        return _load_mnist(allow_synthetic)
+        return _load_mnist(allow_synthetic, data_dir)
     if name == "cifar10":
-        return _load_cifar10(allow_synthetic)
+        return _load_cifar10(allow_synthetic, data_dir)
     raise ValueError(f"Unknown dataset {name!r}; available: mnist, cifar10")
 
 
@@ -173,7 +189,8 @@ def get_dataloaders(config, seed: int = 0):
     """
     from .pipeline import DeviceDataset
 
-    raw = load_dataset(config.data.dataset, config.data.allow_synthetic)
+    raw = load_dataset(config.data.dataset, config.data.allow_synthetic,
+                       data_dir=config.data.data_dir)
     mean = np.asarray(config.data.mean, np.float32)
     std = np.asarray(config.data.std, np.float32)
     aug = None

@@ -102,14 +102,18 @@ def augment_cifar(images, key, pad: int = 4):
 
 @functools.partial(jax.jit, static_argnames=("augment",))
 def _gather_batch(images_u8, labels, idx, mean, std, augment: Optional[str], key):
-    """On-device: gather batch rows, normalise, optionally augment."""
+    """On-device: gather batch rows, augment on RAW [0,1] pixels, then
+    normalise — matching torchvision's transform-then-Normalize order, so
+    rotation/crop fill pixels are black (raw 0), not the per-channel mean
+    in normalised space."""
     batch = jnp.take(images_u8, idx, axis=0)
     y = jnp.take(labels, idx, axis=0)
-    x = normalize_images(batch, mean, std)
+    x = batch.astype(jnp.float32) / 255.0
     if augment == "mnist":
         x = augment_mnist(x, key)
     elif augment == "cifar":
         x = augment_cifar(x, key)
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
     return x, y
 
 

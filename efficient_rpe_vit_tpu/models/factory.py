@@ -107,7 +107,12 @@ def create_model(
     attn_kwargs = {k: v for k, v in attn_kwargs.items() if v is not None}
     rpe_kwargs = {k: v for k, v in rpe_kwargs.items() if v is not None}
 
-    if attention_type == "softmax" and rpe_type in ("most_general", "kerple"):
+    from .attention import SoftmaxAttention
+    from .rpe import KerpleRPE
+
+    if (ATTENTION_REGISTRY[attention_type] is SoftmaxAttention
+            and rpe_type is not None
+            and RPE_REGISTRY[rpe_type] is KerpleRPE):
         raise NotImplementedError(
             "KERPLE RPE is designed specifically for kernelized attention "
             "(FAVOR+/ReLU Performer) and cannot be used with standard softmax "

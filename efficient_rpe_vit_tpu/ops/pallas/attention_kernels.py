@@ -18,11 +18,14 @@ Numerics: all accumulation fp32 (`preferred_element_type`); padded KV
 columns are masked with -0.7*float_max in the softmax kernel and contribute
 exact zeros in the masked-linear kernel (zero-padded phi(k) rows).
 
-Backward passes use jax.custom_vjp with explicit-formula VJPs from saved
-(den, out) residuals — either in XLA (`MASKED_LINEAR_BWD_MODE =
-"jnp_residual"`, the measured default) or via the fully-fused Pallas
-kernels in masked_linear_bwd.py ("pallas"). Gradients match the direct
-jnp derivative bit-close in tests.
+Backward passes: the masked-linear kernel uses jax.custom_vjp with
+explicit-formula VJPs from saved (den, out) residuals — either in XLA
+(`MASKED_LINEAR_BWD_MODE = "jnp_residual"`, the measured default) or via
+the fully-fused Pallas kernels in masked_linear_bwd.py ("pallas").
+flash_softmax_attention's backward RECOMPUTES dense softmax attention in
+XLA (materialising the [B,H,N,N] probabilities) — its memory win is
+forward/inference-only; a tiled flash backward is future work. Gradients
+match the direct jnp derivatives bit-close in tests.
 
 Both launchers pad (N, F, D) up to lane/sublane multiples and slice the
 result; tests run the kernels in interpret mode on CPU. NOTE on dispatch:

@@ -45,8 +45,10 @@ def _state_specs(state: TrainState, mesh: Mesh):
         return P()
 
     opt_specs = jax.tree_util.tree_map(opt_leaf_spec, state.opt_state)
+    # constants (omega buffers) use the same path rules as params, so
+    # head-structured buffers split across 'model' like their parameters
     const_specs = (
-        jax.tree_util.tree_map(lambda x: P(), state.constants)
+        make_param_specs(state.constants, mesh)
         if state.constants is not None
         else None
     )
@@ -131,20 +133,38 @@ def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
     )
 
     def step_fn(state: TrainState, images, labels, dropout_key):
+        # mirror make_train_step's feature-redraw handling: a 'state'
+        # collection means mutable constants + a 'features' rng are needed
+        redraw_mode = state.mutable_state is not None
+
         def loss_fn(params):
             variables = {"params": params}
             if state.constants is not None:
                 variables["constants"] = state.constants
-            logits = model.apply(
-                variables, images, deterministic=False,
-                rngs={"dropout": dropout_key},
-            )
-            return cross_entropy_loss(logits, labels), logits
+            rngs = {"dropout": dropout_key}
+            if redraw_mode:
+                variables["state"] = state.mutable_state
+                rngs["features"] = jax.random.fold_in(dropout_key, 1)
+                logits, updates = model.apply(
+                    variables, images, deterministic=False, rngs=rngs,
+                    mutable=["constants", "state"],
+                )
+            else:
+                logits = model.apply(
+                    variables, images, deterministic=False, rngs=rngs,
+                )
+                updates = None
+            return cross_entropy_loss(logits, labels), (logits, updates)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (logits, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         new_state = state.apply_gradients(grads)
+        if redraw_mode:
+            new_state = new_state.replace(
+                constants=updates.get("constants", new_state.constants),
+                mutable_state=updates.get("state", new_state.mutable_state),
+            )
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return new_state, loss, correct
 

@@ -314,7 +314,8 @@ def benchmark_inference(
         def fwd(v, x):
             return model.apply(v, x, deterministic=True)
 
-    for _ in range(num_warmup):
+    out = fwd(variables, images)  # always at least one compile/warmup pass
+    for _ in range(max(0, num_warmup - 1)):
         out = fwd(variables, images)
     jax.block_until_ready(out)
 

@@ -238,9 +238,16 @@ def main(argv=None, shared=None):
                 )
     total_train_time = time.perf_counter() - t_train0
 
-    final_eval = evaluate(state, eval_step, test_ds,
-                          num_classes=m.num_classes,
-                          detailed=args.eval_detailed)
+    if args.eval_detailed or not per_epoch:
+        final_eval = evaluate(state, eval_step, test_ds,
+                              num_classes=m.num_classes,
+                              detailed=args.eval_detailed)
+    else:
+        # the epoch loop's last evaluation IS the final evaluation — avoid
+        # a duplicated full-test-set pass per run
+        final_eval = {"accuracy": per_epoch[-1]["test_accuracy"],
+                      "loss": per_epoch[-1]["test_loss"],
+                      "samples": test_ds.num_samples}
 
     bench_images, _ = next(iter(test_ds))
     bench_fwd = shared.get("bench_fwd") if shared is not None else None

@@ -226,3 +226,41 @@ def test_seq_parallel_ops_differentiable(rng):
         kerple_linear_attention(qp, kp, v, c, method="dense") ** 2))(coeffs)
     np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ring_ref),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_parallel_step_with_feature_redraw(rng):
+    """The SHARDED train step supports feature redraw (review finding: it
+    previously crashed for any model with feature_redraw_interval set)."""
+    cfg = mnist_config()
+    model = create_model(
+        "performer_favor", cfg,
+        attention_config={"feature_redraw_interval": 1},
+    )
+    mesh = make_mesh()
+    sample = jnp.zeros((2, 28, 28, 1))
+    state, specs = create_sharded_train_state(model, cfg, rng, sample, mesh)
+    assert state.mutable_state is not None
+    step = make_parallel_train_step(model, mesh, specs, donate=False)
+    omega0 = state.constants["block_0"]["attention"]["omega"]
+    images = jax.random.normal(rng, (16, 28, 28, 1))
+    labels = jnp.arange(16) % 10
+    state, loss, _ = step(state, images, labels, rng)
+    assert jnp.isfinite(loss)
+    omega1 = state.constants["block_0"]["attention"]["omega"]
+    assert float(jnp.abs(omega1 - omega0).max()) > 1e-3  # redraw happened
+
+
+def test_tp_shards_omega(rng):
+    """Constants follow the same sharding rules as params: omega is
+    head-split across 'model' (review finding: the rule was dead code)."""
+    from efficient_rpe_vit_tpu.parallel.train_parallel import _state_specs
+    from efficient_rpe_vit_tpu.train import create_train_state
+
+    cfg = mnist_config()
+    model = create_model("performer_favor", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    mesh = make_mesh(n_model=2)
+    specs = _state_specs(state, mesh)
+    assert specs.constants["block_0"]["attention"]["omega"] == P(
+        "model", None, None
+    )
