@@ -22,10 +22,10 @@ Backward passes: the masked-linear kernel uses jax.custom_vjp with
 explicit-formula VJPs from saved (den, out) residuals — either in XLA
 (`MASKED_LINEAR_BWD_MODE = "jnp_residual"`, the measured default) or via
 the fully-fused Pallas kernels in masked_linear_bwd.py ("pallas").
-flash_softmax_attention's backward RECOMPUTES dense softmax attention in
-XLA (materialising the [B,H,N,N] probabilities) — its memory win is
-forward/inference-only; a tiled flash backward is future work. Gradients
-match the direct jnp derivatives bit-close in tests.
+flash_softmax_attention saves (out, lse) residuals and runs the tiled
+dq/dkv-split Pallas backward in flash_bwd.py (`FLASH_BWD_MODE = "pallas"`)
+— no [B,H,N,N] tensor in either direction. Gradients match the direct jnp
+derivatives bit-close in tests.
 
 Both launchers pad (N, F, D) up to lane/sublane multiples and slice the
 result; tests run the kernels in interpret mode on CPU. NOTE on dispatch:
@@ -232,7 +232,7 @@ fused_masked_linear_attention.defvjp(_fml_fwd, _fml_bwd)
 # Kernel 2: flash softmax attention
 # ════════════════════════════════════════════════════════════════════════
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
                   *, scale: float, n_kv_tiles: int, block_kv: int,
                   seq_len: int):
     jk = pl.program_id(3)
@@ -272,6 +272,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l = l_ref[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        # Row log-sum-exp residual for the tiled backward: softmax
+        # probabilities rebuild as exp(s - lse) without re-running the
+        # online max/normaliser recurrence.
+        m = m_ref[...]
+        lse_ref[0, 0] = jnp.where(
+            l == 0.0, MASK_VALUE, m + jnp.log(jnp.maximum(l, 1e-37))
+        )
 
 
 def _flash_fwd_impl(q, k, v, *, scale: float, block_q: int, block_kv: int,
@@ -288,20 +295,24 @@ def _flash_fwd_impl(q, k, v, *, scale: float, block_q: int, block_kv: int,
     n_kv_tiles = Np // block_kv
     grid = (B, H, n_q_tiles, n_kv_tiles)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, n_kv_tiles=n_kv_tiles,
             block_kv=block_kv, seq_len=N,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
+            jax.ShapeDtypeStruct((B, H, Np, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -318,7 +329,7 @@ def _flash_fwd_impl(q, k, v, *, scale: float, block_q: int, block_kv: int,
         ),
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :, :N, :D]
+    return out[:, :, :N, :D], lse[:, :, :N, 0]
 
 
 def _flash_reference(q, k, v, scale):
@@ -339,18 +350,33 @@ def flash_softmax_attention(q, k, v, scale: float, block_q: int = 128,
     Returns:
         [B, H, N, D].
     """
-    return _flash_fwd_impl(q, k, v, scale=scale, block_q=block_q,
-                           block_kv=block_kv, interpret=interpret)
+    out, _ = _flash_fwd_impl(q, k, v, scale=scale, block_q=block_q,
+                             block_kv=block_kv, interpret=interpret)
+    return out
+
+
+# Backward strategy: 'pallas' (default) runs the tiled dq/dkv-split kernels
+# in flash_bwd.py — nothing quadratic in N touches HBM, matching the
+# forward's memory story. 'jnp_recompute' rebuilds dense attention in XLA
+# (the pre-r2 behaviour; kept as a debugging oracle).
+FLASH_BWD_MODE = "pallas"
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_kv, interpret):
-    out = _flash_fwd_impl(q, k, v, scale=scale, block_q=block_q,
-                          block_kv=block_kv, interpret=interpret)
-    return out, (q, k, v)
+    out, lse = _flash_fwd_impl(q, k, v, scale=scale, block_q=block_q,
+                               block_kv=block_kv, interpret=interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_kv, interpret, residuals, g):
-    q, k, v = residuals
+    q, k, v, out, lse = residuals
+    if FLASH_BWD_MODE == "pallas":
+        from .flash_bwd import flash_attention_bwd
+
+        return flash_attention_bwd(
+            q, k, v, out, lse, g, scale=scale,
+            block_q=block_q, block_kv=block_kv, interpret=interpret,
+        )
     _, vjp = jax.vjp(lambda q, k, v: _flash_reference(q, k, v, scale), q, k, v)
     return vjp(g)
 

@@ -116,6 +116,56 @@ def test_flash_gradients_match(rng):
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("N", [17, 384])
+def test_flash_gradients_multi_tile_and_padding(rng, N):
+    """Tiled Pallas backward across multiple q/kv tiles (N=384) and the
+    heavy-padding regime (N=17) — no [B,H,N,N] tensor in either direction."""
+    B, H, D = 1, 2, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D)) * 1.5
+    k = jax.random.normal(k2, (B, H, N, D)) * 1.5
+    v = jax.random.normal(k3, (B, H, N, D))
+    scale = D ** -0.5
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_softmax_attention(q, k, v, scale, 128, 128, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(softmax_attention(q, k, v, scale) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_flash_bwd_modes_agree(rng):
+    """The tiled Pallas backward == the dense jnp recompute backward."""
+    from efficient_rpe_vit_tpu.ops.pallas import attention_kernels as ak
+
+    B, H, N, D = 2, 2, 64, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+
+    def loss(q, k, v):
+        return jnp.sum(flash_softmax_attention(q, k, v, 0.25, 128, 128, True) ** 2)
+
+    old = ak.FLASH_BWD_MODE
+    try:
+        ak.FLASH_BWD_MODE = "pallas"
+        gp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        ak.FLASH_BWD_MODE = "jnp_recompute"
+        gr = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        ak.FLASH_BWD_MODE = old
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_flash_long_sequence_multi_tile(rng):
     """Multiple q AND kv tiles (online-softmax correction across tiles)."""
     B, H, N, D = 1, 1, 384, 16
