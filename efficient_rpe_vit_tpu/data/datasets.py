@@ -199,11 +199,12 @@ def get_dataloaders(config, seed: int = 0):
     train = DeviceDataset(
         raw["train_images"], raw["train_labels"], mean, std,
         batch_size=config.train.batch_size, shuffle=True, drop_last=True,
-        augment=aug, seed=seed,
+        augment=aug, seed=seed, synthetic=raw["synthetic"],
     )
     test = DeviceDataset(
         raw["test_images"], raw["test_labels"], mean, std,
         batch_size=config.train.batch_size, shuffle=False, drop_last=False,
+        synthetic=raw["synthetic"],
     )
     return train, test
 

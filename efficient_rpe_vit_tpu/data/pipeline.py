@@ -128,8 +128,12 @@ class DeviceDataset:
     def __init__(self, images_u8: np.ndarray, labels: np.ndarray,
                  mean, std, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, augment: Optional[str] = None,
-                 seed: int = 0, device=None):
+                 seed: int = 0, device=None, synthetic: bool = False):
         self.n = len(images_u8)
+        # data provenance: True when the loader fell back to generated data
+        # (threaded into result metadata so accuracies are never mistaken
+        # for real-dataset numbers)
+        self.synthetic = synthetic
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last

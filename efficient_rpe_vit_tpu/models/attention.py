@@ -24,6 +24,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from ..ops import (
     default_num_features,
@@ -58,6 +59,13 @@ class SoftmaxAttention(nn.Module):
     dropout: float = 0.0
     qkv_bias: bool = False
     dtype: str = "float32"
+    # Context parallelism: when seq_mesh is set, the attention core runs
+    # ring softmax attention with the sequence sharded over `seq_axis`
+    # (parallel/seq_parallel.py). Attention-probability dropout is not
+    # applied on this path (the probabilities never materialise); the
+    # output-projection dropout still applies.
+    seq_mesh: Optional[Mesh] = None
+    seq_axis: str = "seq"
 
     @property
     def head_dim(self) -> int:
@@ -85,12 +93,24 @@ class SoftmaxAttention(nn.Module):
         elif isinstance(rpe, CirculantStringRPE):
             q, k = rpe.rotate(q, k)
 
-        attn_drop = nn.Dropout(self.dropout, deterministic=deterministic)
-        out = softmax_attention(
-            q, k, v, self.head_dim ** -0.5, mask=mask,
-            return_attention=return_attention,
-            dropout_fn=attn_drop,
-        )
+        if self.seq_mesh is not None:
+            if mask is not None or return_attention:
+                raise NotImplementedError(
+                    "context-parallel softmax attention supports neither "
+                    "masks nor return_attention"
+                )
+            from ..parallel.seq_parallel import ring_softmax_attention
+
+            out = ring_softmax_attention(
+                q, k, v, self.head_dim ** -0.5, self.seq_mesh, self.seq_axis
+            )
+        else:
+            attn_drop = nn.Dropout(self.dropout, deterministic=deterministic)
+            out = softmax_attention(
+                q, k, v, self.head_dim ** -0.5, mask=mask,
+                return_attention=return_attention,
+                dropout_fn=attn_drop,
+            )
         if return_attention:
             out, attn_weights = out
         out = _merge_heads(out)
@@ -114,6 +134,12 @@ class _KernelAttention(nn.Module):
     feature_redraw_interval: Optional[int] = None
     qkv_bias: bool = False
     dtype: str = "float32"
+    # Context parallelism: when seq_mesh is set, the attention core shards
+    # the sequence over `seq_axis` — one psum of the [F, D]/[F] summaries
+    # for the plain linear path, a ppermute ring for KERPLE
+    # (parallel/seq_parallel.py). Exact: matches single-device outputs.
+    seq_mesh: Optional[Mesh] = None
+    seq_axis: str = "seq"
 
     feature_kind: str = "favor_plus"  # overridden by subclasses
 
@@ -202,7 +228,22 @@ class _KernelAttention(nn.Module):
         q_prime = self._phi(q, omega)
         k_prime = self._phi(k, omega)
 
-        if use_kerple:
+        if self.seq_mesh is not None:
+            from ..parallel.seq_parallel import (
+                ring_kerple_attention,
+                seq_parallel_linear_attention,
+            )
+
+            if use_kerple:
+                out = ring_kerple_attention(
+                    q_prime, k_prime, v, rpe.coeffs(),
+                    self.seq_mesh, self.seq_axis,
+                )
+            else:
+                out = seq_parallel_linear_attention(
+                    q_prime, k_prime, v, self.seq_mesh, self.seq_axis
+                )
+        elif use_kerple:
             out = rpe.attention(q_prime, k_prime, v)
         else:
             out = linear_attention(q_prime, k_prime, v)

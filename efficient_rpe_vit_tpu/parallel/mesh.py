@@ -74,9 +74,11 @@ def make_param_specs(params, mesh: Mesh, model_axis: str = "model"):
     """PartitionSpec pytree for a ViT params tree.
 
     Everything is replicated across 'data'; head-structured tensors split
-    across `model_axis` when shapes divide evenly.
+    across `model_axis` when shapes divide evenly. A mesh without
+    `model_axis` (e.g. a ('data', 'seq') context-parallel mesh) replicates
+    all parameters.
     """
-    size = mesh.shape[model_axis]
+    size = mesh.shape[model_axis] if model_axis in mesh.axis_names else 1
 
     def spec_for(path, x):
         name = _path_str(path)

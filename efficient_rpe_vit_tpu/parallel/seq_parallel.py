@@ -30,6 +30,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.attention_core import EPS
 
+# Finite mask for padded ring-softmax columns: keeps the running max finite
+# (a -inf max would make the online correction exp(m - m_new) produce NaN).
+_MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _pad_seq(x, p: int):
+    """Zero-pad the sequence axis (2) up to a multiple of p."""
+    pad = (-x.shape[2]) % p
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[2] = (0, pad)
+    return jnp.pad(x, widths)
+
 
 def _local_linear_attention(q_prime, k_prime, v, axis_name: str):
     """Per-shard body: local summaries -> psum -> local normalised output.
@@ -59,16 +73,16 @@ def seq_parallel_linear_attention(q_prime, k_prime, v, mesh: Mesh,
     Args:
         q_prime, k_prime: [B, H, N, F] feature-mapped queries/keys.
         v: [B, H, N, D].
-        mesh: device mesh containing `axis`; N must divide by its size.
+        mesh: device mesh containing `axis`. Any N works: the sequence is
+            zero-padded up to a multiple of the axis size (zero phi(k) rows
+            add nothing to the summaries; padded query rows are sliced off).
     Returns:
         [B, H, N, D], numerically equal to
         `ops.attention_core.linear_attention` on one device.
     """
     n = q_prime.shape[2]
     p = mesh.shape[axis]
-    if n % p != 0:
-        raise ValueError(f"sequence length {n} not divisible by mesh axis "
-                         f"{axis!r} of size {p}")
+    q_prime, k_prime, v = (_pad_seq(t, p) for t in (q_prime, k_prime, v))
     spec = P(None, None, axis, None)
     fn = jax.shard_map(
         functools.partial(_local_linear_attention, axis_name=axis),
@@ -77,28 +91,35 @@ def seq_parallel_linear_attention(q_prime, k_prime, v, mesh: Mesh,
         out_specs=spec,
     )
     put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
-    return fn(put(q_prime), put(k_prime), put(v))
+    return fn(put(q_prime), put(k_prime), put(v))[:, :, :n]
 
 
 # ------------------------------------------------ ring softmax attention ---
 
 def _ring_softmax_body(q, k_local, v_local, *, axis_name: str,
-                       n_devices: int, scale: float):
+                       n_devices: int, scale: float, n_valid: int):
     """Ring softmax attention with cross-shard ONLINE-SOFTMAX statistics:
     (k, v) blocks rotate via ppermute; each device keeps running max m,
     normaliser l, and output accumulator o for its local queries, applying
     the exp(m_old - m_new) correction as new blocks arrive — the flash
-    recurrence across devices instead of tiles."""
+    recurrence across devices instead of tiles. Key columns at global index
+    >= n_valid (sequence padding) are masked to a large negative finite
+    value so they contribute exactly zero probability."""
+    idx = jax.lax.axis_index(axis_name)
     B, H, nl, D = q.shape
     m = jnp.full((B, H, nl, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((B, H, nl, 1), jnp.float32)
     o = jnp.zeros((B, H, nl, D), jnp.float32)
     k_blk, v_blk = k_local, v_local
     perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+    j_loc = jnp.arange(nl)
 
     for step in range(n_devices):  # static unroll
+        src = (idx - step) % n_devices  # origin shard of the block we hold
         s = jnp.einsum("bhnd,bhmd->bhnm", q, k_blk,
                        preferred_element_type=jnp.float32) * scale
+        j_global = src * nl + j_loc
+        s = jnp.where(j_global[None, None, None, :] < n_valid, s, _MASK)
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_curr)
         alpha = jnp.exp(m - m_new)
@@ -124,25 +145,24 @@ def ring_softmax_attention(q, k, v, scale: float, mesh: Mesh,
     via the online-softmax correction.
 
     Args:
-        q, k, v: [B, H, N, D]; N must divide the mesh axis size.
+        q, k, v: [B, H, N, D]. Any N works: the sequence is zero-padded to a
+            multiple of the axis size and padded key columns are masked.
     Returns:
         [B, H, N, D].
     """
     n = q.shape[2]
     p = mesh.shape[axis]
-    if n % p != 0:
-        raise ValueError(f"sequence length {n} not divisible by mesh axis "
-                         f"{axis!r} of size {p}")
+    q, k, v = (_pad_seq(t, p) for t in (q, k, v))
     spec = P(None, None, axis, None)
     fn = jax.shard_map(
         functools.partial(_ring_softmax_body, axis_name=axis, n_devices=p,
-                          scale=scale),
+                          scale=scale, n_valid=n),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
     )
     put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
-    return fn(put(q), put(k), put(v))
+    return fn(put(q), put(k), put(v))[:, :, :n]
 
 
 # ------------------------------------------------- ring KERPLE attention ---
@@ -202,23 +222,33 @@ def ring_kerple_attention(q_prime, k_prime, v, coeffs, mesh: Mesh,
         q_prime, k_prime: [B, H, N, F].
         v: [B, H, N, D].
         coeffs: [H, 2N-1] positive Toeplitz coefficients (replicated).
+            Any N works: sequences zero-pad to a multiple of the axis size
+            (zero phi(k) rows give W = 0 regardless of the Toeplitz value)
+            and coeffs re-centre into a [H, 2*Npad-1] table.
     Returns:
         [B, H, N, D], equal to `ops.kerple_linear_attention` on one device.
     """
     n = q_prime.shape[2]
     p = mesh.shape[axis]
-    if n % p != 0:
-        raise ValueError(f"sequence length {n} not divisible by mesh axis "
-                         f"{axis!r} of size {p}")
+    q_prime, k_prime, v = (_pad_seq(t, p) for t in (q_prime, k_prime, v))
+    n_pad = q_prime.shape[2]
+    if n_pad != n:
+        # re-centre: padded_coeffs[:, d + n_pad - 1] = coeffs[:, d + n - 1]
+        # for relative offsets d in [-(n-1), n-1]; out-of-range offsets only
+        # ever multiply zero-padded phi(k), so their value is irrelevant.
+        padded = jnp.zeros((coeffs.shape[0], 2 * n_pad - 1), coeffs.dtype)
+        coeffs = jax.lax.dynamic_update_slice(
+            padded, coeffs, (0, n_pad - n)
+        )
     spec = P(None, None, axis, None)
     cspec = P()  # coeffs replicated
     fn = jax.shard_map(
         functools.partial(_ring_kerple_body, axis_name=axis, n_devices=p,
-                          n_global=n),
+                          n_global=n_pad),
         mesh=mesh,
         in_specs=(spec, spec, spec, cspec),
         out_specs=spec,
     )
     put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
     return fn(put(q_prime, spec), put(k_prime, spec), put(v, spec),
-              put(coeffs, cspec))
+              put(coeffs, cspec))[:, :, :n]

@@ -26,11 +26,6 @@ def _state_specs(state: TrainState, mesh: Mesh):
     """PartitionSpec tree matching a TrainState."""
     param_specs = make_param_specs(state.params, mesh)
 
-    def opt_spec(x):
-        # optimizer moments mirror the param tree shape-for-shape where
-        # possible; scalars and counters are replicated
-        return P()
-
     # optax states are pytrees containing param-shaped moments; map any leaf
     # that exactly matches a param shape to that param's spec, else replicate.
     param_leaves = jax.tree_util.tree_leaves_with_path(state.params)

@@ -135,42 +135,38 @@ def main():
         st.error("benchmark_config.json not found")
         return
 
+    from efficient_rpe_vit_tpu.train import compute_convergence_metrics
+    from experiments import charts
+
+    rows = create_summary_table(data)
     tabs = st.tabs(["Summary", "Accuracy", "Training curves",
                     "Efficiency", "Convergence", "Per-run"])
     with tabs[0]:
-        st.dataframe(create_summary_table(data))
+        st.dataframe(rows)
     with tabs[1]:
-        for model, d in data["models"].items():
-            bands = accuracy_percentiles(d["runs"])
-            if bands:
-                st.subheader(model)
-                st.line_chart({
-                    "median": bands["median"],
-                    "p25": bands["p25"],
-                    "p75": bands["p75"],
-                })
+        fig = charts.plot_accuracy_bands(data, accuracy_percentiles)
+        st.pyplot(fig)
     with tabs[2]:
+        fig = charts.plot_training_curves(data)
+        if fig is not None:
+            st.pyplot(fig)
+    with tabs[3]:
+        fig = charts.plot_efficiency_bars(rows)
+        st.pyplot(fig)
+        fig = charts.plot_efficiency_scatter(rows)
+        if fig is not None:
+            st.pyplot(fig)
+    with tabs[4]:
+        fig = charts.plot_convergence(data, compute_convergence_metrics)
+        if fig is not None:
+            st.pyplot(fig)
+        # numeric detail: every run, not just the first
         for model, d in data["models"].items():
             for i, run in enumerate(d["runs"]):
-                epochs = run.get("per_epoch", [])
-                if epochs:
-                    st.subheader(f"{model} run {i}")
-                    st.line_chart({
-                        "train_acc": [e["train_accuracy"] for e in epochs],
-                        "test_acc": [e["test_accuracy"] for e in epochs],
-                    })
-    with tabs[3]:
-        rows = create_summary_table(data)
-        st.bar_chart({r["model"]: r["throughput_img_s"] or 0 for r in rows})
-    with tabs[4]:
-        from efficient_rpe_vit_tpu.train import compute_convergence_metrics
-
-        for model, d in data["models"].items():
-            for run in d["runs"]:
                 accs = [e["test_accuracy"] for e in run.get("per_epoch", [])]
                 if accs:
-                    st.write(model, compute_convergence_metrics(accs))
-                break
+                    st.write(f"{model} run {i}",
+                             compute_convergence_metrics(accs))
     with tabs[5]:
         model = st.selectbox("Model", list(data["models"]))
         runs = data["models"][model]["runs"]

@@ -22,8 +22,9 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
-import numpy as np
 
+from efficient_rpe_vit_tpu.train import compute_convergence_metrics
+from experiments import charts
 from experiments.dashboard import (
     accuracy_percentiles,
     create_summary_table,
@@ -69,46 +70,29 @@ def build_report(results_dir: str) -> str:
                      f"<td>{tt}</td><td>{r['num_runs']}</td></tr>")
     parts.append("</table>")
 
-    # accuracy bands
+    # accuracy percentile bands (median + p25/75 + p5/95)
     parts.append("<h2>Test accuracy across seeds</h2>")
-    fig, ax = plt.subplots(figsize=(9, 5))
-    for model, d in data["models"].items():
-        bands = accuracy_percentiles(d["runs"])
-        if not bands:
-            continue
-        e = bands["epochs"]
-        ax.plot(e, bands["median"], label=model)
-        ax.fill_between(e, bands["p25"], bands["p75"], alpha=0.2)
-    ax.set_xlabel("epoch"); ax.set_ylabel("test accuracy (%)"); ax.legend(fontsize=7)
+    fig = charts.plot_accuracy_bands(data, accuracy_percentiles)
     parts.append(_img(_fig_to_b64(fig)))
 
-    # efficiency bars
+    # efficiency bars + accuracy-vs-throughput scatter
     parts.append("<h2>Efficiency</h2>")
-    labels = [r["model"] for r in rows]
-    thr = [r["throughput_img_s"] or 0 for r in rows]
-    lat = [r["latency_ms"] or 0 for r in rows]
-    fig, axes = plt.subplots(1, 2, figsize=(12, 4))
-    axes[0].barh(labels, thr); axes[0].set_title("throughput (img/s)")
-    axes[1].barh(labels, lat); axes[1].set_title("latency (ms/batch)")
-    for a in axes:
-        a.tick_params(labelsize=7)
+    fig = charts.plot_efficiency_bars(rows)
     parts.append(_img(_fig_to_b64(fig)))
+    fig = charts.plot_efficiency_scatter(rows)
+    if fig is not None:
+        parts.append(_img(_fig_to_b64(fig)))
 
-    # per-model training curves
+    # convergence across ALL runs
+    parts.append("<h2>Convergence</h2>")
+    fig = charts.plot_convergence(data, compute_convergence_metrics)
+    if fig is not None:
+        parts.append(_img(_fig_to_b64(fig)))
+
+    # per-model training curves, every run
     parts.append("<h2>Training curves</h2>")
-    for model, d in data["models"].items():
-        runs = d["runs"]
-        if not runs:
-            continue
-        fig, ax = plt.subplots(figsize=(7, 3.5))
-        for i, run in enumerate(runs):
-            ep = run.get("per_epoch", [])
-            ax.plot([e["epoch"] for e in ep],
-                    [e["test_accuracy"] for e in ep],
-                    alpha=0.7, label=f"run {i}")
-        ax.set_title(model, fontsize=9)
-        ax.set_xlabel("epoch"); ax.set_ylabel("test acc (%)")
-        ax.legend(fontsize=6)
+    fig = charts.plot_training_curves(data)
+    if fig is not None:
         parts.append(_img(_fig_to_b64(fig)))
 
     parts.append("</body></html>")

@@ -275,6 +275,7 @@ def main(argv=None, shared=None):
             "seed": args.seed,
             "num_parameters": n_params["total"],
             "backend": jax.default_backend(),
+            "synthetic_data": bool(getattr(train_ds, "synthetic", False)),
             "config": {k: v for k, v in config.to_dict().items()
                        if isinstance(v, (int, float, str, bool, tuple, list))},
         },
