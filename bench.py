@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_IMAGES_PER_SEC = 650.0  # reference midpoint of 500-800 img/s
 BATCH = 256
 WARMUP_STEPS = 5
-TIMED_STEPS = 30
+# Enough steps that the ~25 ms value-fetch barrier round trip is <3% of the
+# timed region (utils/timing.py: block_until_ready is NOT a trustworthy
+# barrier through the TPU tunnel — only a host value fetch is).
+TIMED_STEPS = 150
 HEALTH_TIMEOUT_S = 300  # first TPU compile can take minutes via the tunnel
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip (public spec).
 PEAK_FLOPS_BF16 = 197e12
@@ -85,13 +88,17 @@ def main():
     for _ in range(WARMUP_STEPS):
         key, sub = jax.random.split(key)
         state, loss, _ = train_step(state, images, labels, sub)
-    jax.block_until_ready(state.params)
+    float(loss)  # value fetch: the only barrier the tunnel honours
 
     t0 = time.perf_counter()
     for _ in range(TIMED_STEPS):
         key, sub = jax.random.split(key)
         state, loss, _ = train_step(state, images, labels, sub)
-    jax.block_until_ready(state.params)
+    # The final loss depends on the final step's params (donated chain), so
+    # fetching its VALUE is a true end-of-chain barrier; block_until_ready
+    # has been observed to return early through the tunnel (round 2,
+    # docs/BENCHMARKING.md rule 6) and must not be used for timing.
+    float(loss)
     elapsed = time.perf_counter() - t0
 
     images_per_sec = BATCH * TIMED_STEPS / elapsed

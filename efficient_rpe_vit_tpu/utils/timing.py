@@ -3,6 +3,16 @@
 The reference times with `time.time()` + `torch.cuda.synchronize()`
 (reference: experiments/utils/training.py:210-283). On TPU the equivalent
 barrier is `jax.block_until_ready` on the outputs being timed.
+
+⚠ On the remote-attached (tunneled) TPU in this environment,
+`jax.block_until_ready` is NOT a trustworthy barrier: it sometimes returns
+after ~0.03 ms for a chain of matmuls whose true device time is tens of
+milliseconds (observed round 2; the identical chain then measured 38 ms on
+a later attempt). The only reliable barrier is fetching a VALUE to the
+host (e.g. `float(jnp.sum(x))`), which costs one ~25 ms round trip — so
+chain enough iterations that the round trip is amortised below a few
+percent. `fetch_barrier` and `chained_time` implement this protocol; all
+performance claims in this repo use them (docs/BENCHMARKING.md rule 6).
 """
 
 from __future__ import annotations
@@ -10,6 +20,52 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
+
+
+def fetch_barrier(value) -> float:
+    """True device barrier: reduce `value` (a pytree) to one scalar and
+    fetch it to the host. Unlike block_until_ready, a value fetch cannot
+    return before the producing computation has finished."""
+    leaves = jax.tree_util.tree_leaves(value)
+    total = sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) if hasattr(x, "astype")
+                else 0.0 for x in leaves)
+    return float(total)
+
+
+def chained_time(fn, args, steps: int, feedback, repeats: int = 3) -> float:
+    """Median per-step seconds over `repeats` chains of `steps` iterations.
+
+    `feedback(cur_args, out) -> next_args` must make each iteration's
+    inputs depend on the previous output (so the device cannot overlap
+    iterations), and the chain ends with a host value fetch (the only
+    barrier the tunnel honours). The fetch's own ~25 ms round trip is
+    measured on an already-materialised scalar and subtracted, so this
+    remains accurate for sub-millisecond ops at moderate step counts.
+    """
+    out = fn(*args)
+    fetch_barrier(out)  # compile + warm
+
+    # round-trip cost of the barrier itself (fetching a ready value)
+    ready = jnp.zeros(())
+    float(ready)
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(ready))
+        rts.append(time.perf_counter() - t0)
+    rt = sorted(rts)[len(rts) // 2]
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        cur = args
+        for _ in range(steps):
+            out = fn(*cur)
+            cur = feedback(cur, out)
+        fetch_barrier(out)
+        times.append(max(0.0, time.perf_counter() - t0 - rt) / steps)
+    return sorted(times)[len(times) // 2]
 
 
 class Timer:

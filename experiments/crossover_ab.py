@@ -19,30 +19,13 @@ Prints a markdown table and (with --out) appends it to the file.
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
-
-def _chained_time(fn, args, steps: int, feedback) -> float:
-    """Median-of-3 chained timing: run `steps` iterations where `feedback`
-    maps the previous output into fresh inputs, preventing XLA from
-    overlapping independent dispatches."""
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cur = args
-        for _ in range(steps):
-            out = fn(*cur)
-            cur = feedback(cur, out)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / steps)
-    return sorted(times)[1]
+from efficient_rpe_vit_tpu.utils.timing import chained_time as _chained_time
 
 
 def bench_kerple(N: int, steps: int, B: int = 8, H: int = 2, F: int = 44,

@@ -14,27 +14,13 @@ Usage:  python experiments/flash_ab.py [--steps 20]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
-
-def _chained_time(fn, args, steps: int, feedback) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cur = args
-        for _ in range(steps):
-            out = fn(*cur)
-            cur = feedback(cur, out)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / steps)
-    return sorted(times)[1]
+from efficient_rpe_vit_tpu.utils.timing import chained_time as _chained_time
 
 
 def bench(N: int, steps: int, B: int, H: int, D: int, grad: bool,
