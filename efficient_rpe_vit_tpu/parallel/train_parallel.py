@@ -195,10 +195,12 @@ def parallel_train_epoch(
         total_loss = total_loss + loss * images.shape[0]
         total_correct = total_correct + correct
         total_seen += images.shape[0]
-    jax.block_until_ready(state.params)
+    # value fetch = true barrier (utils/timing.py), before reading the clock
+    final_loss = float(total_loss)
+    epoch_time = time.perf_counter() - t0
     return state, {
-        "loss": float(total_loss) / max(1, total_seen),
+        "loss": final_loss / max(1, total_seen),
         "accuracy": 100.0 * float(total_correct) / max(1, total_seen),
-        "time": time.perf_counter() - t0,
+        "time": epoch_time,
         "samples": total_seen,
     }

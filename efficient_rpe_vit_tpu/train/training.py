@@ -7,8 +7,9 @@ Equivalent surface to the reference's experiments/utils/training.py:
 TPU-first: the whole optimisation step (forward + backward + optax update +
 metric accumulation) is ONE jitted program; epoch loops stream on-device
 batches from `DeviceDataset` (index-gather only across the host boundary);
-timing uses `jax.block_until_ready` as the synchronisation barrier
-(the TPU analogue of the reference's cuda.synchronize, training.py:244).
+timing uses host value fetches as the synchronisation barrier (the TPU
+analogue of the reference's cuda.synchronize, training.py:244 —
+block_until_ready is not reliable through the TPU tunnel, utils/timing.py).
 """
 
 from __future__ import annotations
@@ -243,10 +244,13 @@ def train_epoch(
                 f"({elapsed:.1f}s)",
                 flush=True,
             )
-    jax.block_until_ready(state.params)
+    # Value fetch before reading the clock: block_until_ready can return
+    # before device completion through the TPU tunnel (utils/timing.py),
+    # and the loss value depends on the whole step chain.
+    final_loss = float(total_loss)
     epoch_time = time.perf_counter() - t0
     return state, {
-        "loss": float(total_loss) / max(1, total_seen),
+        "loss": final_loss / max(1, total_seen),
         "accuracy": 100.0 * float(total_correct) / max(1, total_seen),
         "time": epoch_time,
         "samples": total_seen,
@@ -317,13 +321,17 @@ def benchmark_inference(
     out = fwd(variables, images)  # always at least one compile/warmup pass
     for _ in range(max(0, num_warmup - 1)):
         out = fwd(variables, images)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
 
+    # Per-iteration VALUE fetch: the synchronized-latency protocol includes
+    # the host round trip by definition (the reference's cuda.synchronize
+    # does too), and block_until_ready is not a reliable barrier through
+    # the TPU tunnel (utils/timing.py).
     latencies = []
     for _ in range(num_iterations):
         t0 = time.perf_counter()
         out = fwd(variables, images)
-        jax.block_until_ready(out)
+        float(jnp.sum(out))
         latencies.append(time.perf_counter() - t0)
 
     lat = jnp.asarray(latencies)

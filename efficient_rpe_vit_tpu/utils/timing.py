@@ -69,7 +69,7 @@ def chained_time(fn, args, steps: int, feedback, repeats: int = 3) -> float:
 
 
 class Timer:
-    """Context manager measuring wall time with an optional device barrier.
+    """Context manager measuring wall time with a device barrier.
 
     >>> with Timer() as t:
     ...     y = step(x)
@@ -83,7 +83,7 @@ class Timer:
         return self
 
     def block_on(self, value):
-        jax.block_until_ready(value)
+        fetch_barrier(value)  # value fetch, not block_until_ready (above)
         return value
 
     def __exit__(self, *exc):
