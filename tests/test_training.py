@@ -290,3 +290,17 @@ def test_cosine_auto_warmup():
                                 warmup_epochs=2)
     assert float(sched(0)) < 1e-4          # starts near zero
     assert abs(float(sched(20)) - 1e-3) < 1e-4  # peaks at lr after warmup
+
+
+def test_fetch_barrier_and_chained_time(rng):
+    """Value-fetch timing utilities (docs/BENCHMARKING.md rule 6)."""
+    from efficient_rpe_vit_tpu.utils.timing import chained_time, fetch_barrier
+
+    x = jax.random.normal(rng, (64, 64))
+    v = fetch_barrier({"a": x, "b": (x, 3)})
+    assert isinstance(v, float) and v > 0
+
+    g = jax.jit(lambda x: x @ x * 0.01)
+    t = chained_time(g, (x,), steps=5, feedback=lambda cur, out: (out,),
+                     repeats=2)
+    assert t >= 0.0  # RT-subtracted; tiny op can clamp to zero
