@@ -219,9 +219,19 @@ class _KernelAttention(nn.Module):
             q, k = rpe.rotate(q, k)
             q, k = q * scale, k * scale
         elif use_kerple:
-            # L2 normalisation for stability (Luo et al. 2021 §3.3, Thm 3)
-            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-            k = k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+            # L2 normalisation for stability (Luo et al. 2021 §3.3, Thm 3).
+            # Safe-norm form: the clamp sits INSIDE the sqrt so both the
+            # forward AND the sqrt's VJP are finite on all-zero rows (which
+            # occur as pipeline-drain ticks in parallel/pipeline.py; a
+            # clamp outside the sqrt still yields NaN grads via
+            # 0-cotangent * sqrt'(0)=inf). Bit-identical to the reference's
+            # raw division (favor_plus.py:200-201) for any real activation.
+            def _safe_normalize(t):
+                sq = jnp.sum(t * t, axis=-1, keepdims=True)
+                return t / jnp.sqrt(jnp.maximum(sq, 1e-24))
+
+            q = _safe_normalize(q)
+            k = _safe_normalize(k)
         else:
             q, k = q * scale, k * scale
 

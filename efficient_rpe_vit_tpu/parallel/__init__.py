@@ -1,4 +1,9 @@
 from .mesh import make_mesh, make_param_specs, shard_pytree, batch_spec
+from .pipeline import (
+    pipeline_blocks,
+    pipeline_vit_forward,
+    stack_block_variables,
+)
 from .seq_parallel import (
     seq_parallel_linear_attention,
     ring_kerple_attention,
@@ -18,6 +23,9 @@ __all__ = [
     "make_parallel_train_step",
     "create_sharded_train_state",
     "parallel_train_epoch",
+    "pipeline_blocks",
+    "pipeline_vit_forward",
+    "stack_block_variables",
     "seq_parallel_linear_attention",
     "ring_kerple_attention",
     "ring_softmax_attention",

@@ -1,0 +1,233 @@
+"""Pipeline parallelism (GPipe-style) over a 'pipe' mesh axis.
+
+The fourth axis of the parallel layer (after data, tensor, and context
+parallelism): transformer depth is split into S stages, each device along
+'pipe' holds depth/S blocks' parameters, and microbatches flow through the
+stage ring via `lax.ppermute` on a static GPipe schedule of M + S - 1
+ticks. Everything lives inside one `shard_map` + `lax.scan`, so the whole
+pipeline — including the reverse schedule — is a single differentiable XLA
+program; reverse-mode AD through the scan replays the ring backwards and
+produces exact gradients (tested against the sequential model).
+
+The reference has no pipeline (or any) parallelism (SURVEY.md §2.12);
+this is the TPU-native construction: SPMD collective-permute pipelining,
+not host-driven stage processes.
+
+Scope notes:
+  * parameters are stage-sharded over 'pipe' with a leading [depth] stack
+    axis (`stack_block_variables` builds it from a ViT variables tree);
+  * embed/head run replicated on every device (they are tiny); the block
+    stack is the pipelined region;
+  * dropout uses one rng per BLOCK (microbatches share a mask), so
+    pipelined training is stochastic-equivalent, not bit-equal, to the
+    sequential model when dropout > 0; with deterministic=True outputs
+    are bit-comparable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def stack_block_variables(variables, depth: int):
+    """Stack per-block subtrees into leading-axis pytrees.
+
+    Args:
+        variables: ViT variables ({'params': ..., 'constants': ...?}) whose
+            params contain block_0..block_{depth-1} of identical structure.
+        depth: number of blocks.
+    Returns:
+        (stacked, rest): `stacked` is {'params': tree, 'constants': tree?}
+        with every leaf gaining a leading [depth] axis; `rest` is the
+        non-block remainder of the variables (embed/head params etc.).
+    """
+    stacked: dict = {}
+    rest: dict = {}
+    for col, tree in variables.items():
+        blocks = [tree[f"block_{i}"] for i in range(depth)
+                  if f"block_{i}" in tree]
+        if blocks:
+            stacked[col] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *blocks
+            )
+        remainder = {k: v for k, v in tree.items()
+                     if not k.startswith("block_")}
+        if remainder:
+            rest[col] = remainder
+    return stacked, rest
+
+
+def pipeline_spec(stacked, axis: str = "pipe"):
+    """PartitionSpec tree: shard the leading stack axis over `axis`."""
+    return jax.tree_util.tree_map(
+        lambda x: P(axis, *([None] * (x.ndim - 1))), stacked
+    )
+
+
+def pipeline_blocks(
+    block_apply: Callable[[Any, Any, jnp.ndarray], jnp.ndarray],
+    stacked_vars,
+    rngs,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "pipe",
+    n_microbatches: Optional[int] = None,
+):
+    """Run a stack of transformer blocks as a GPipe pipeline.
+
+    Args:
+        block_apply: (block_vars, rng, h) -> h for ONE block, where
+            block_vars is one depth-slice of `stacked_vars` and rng is one
+            row of `rngs` (ignored in deterministic mode).
+        stacked_vars: pytree with leading [depth] axis (stack_block_variables).
+        rngs: [depth, 2] uint32 PRNG keys (one per block), or None.
+        x: [B, N, C] activations entering the block stack.
+        mesh: mesh containing `axis` (S = mesh.shape[axis] stages).
+        n_microbatches: M; defaults to S. B % M == 0, depth % S == 0.
+    Returns:
+        [B, N, C], equal to applying the blocks sequentially.
+    """
+    S = mesh.shape[axis]
+    depth = jax.tree_util.tree_leaves(stacked_vars)[0].shape[0]
+    if depth % S != 0:
+        raise ValueError(f"depth {depth} not divisible by {S} stages")
+    M = n_microbatches or S
+    B = x.shape[0]
+    if B % M != 0:
+        raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    mb = B // M
+    if rngs is None:
+        rngs = jnp.zeros((depth, 2), jnp.uint32)
+
+    x_mb = x.reshape(M, mb, *x.shape[1:])
+    # schedule inputs: M real microbatches + S-1 drain ticks
+    xs_sched = jnp.concatenate(
+        [x_mb, jnp.zeros((S - 1, mb) + x.shape[1:], x.dtype)], axis=0
+    )
+
+    def body(local_vars, local_rngs, xs):
+        idx = jax.lax.axis_index(axis)
+        is_first = idx == 0
+        is_last = idx == S - 1
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def run_stage(h):
+            def blk(h, sl):
+                v, r = sl
+                return block_apply(v, r, h), None
+
+            h, _ = jax.lax.scan(blk, h, (local_vars, local_rngs))
+            return h
+
+        def step(recv, x_t):
+            h_in = jnp.where(is_first, x_t, recv)
+            h_out = run_stage(h_in)
+            sent = jax.lax.ppermute(h_out, axis, perm)
+            return sent, h_out
+
+        # the carry is device-varying (each stage holds different data), so
+        # the invariant zeros initial value must be cast to 'varying'
+        init = jax.lax.pcast(jnp.zeros_like(xs[0]), (axis,), to="varying")
+        _, ys = jax.lax.scan(step, init, xs)
+        # last stage emits microbatch m at tick m + S - 1
+        outs = jax.lax.dynamic_slice_in_dim(ys, S - 1, M, axis=0)
+        outs = jnp.where(is_last, outs, jnp.zeros_like(outs))
+        return jax.lax.psum(outs, axis)  # broadcast result to all stages
+
+    v_spec = pipeline_spec(stacked_vars, axis)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(v_spec, P(axis, None), P()),
+        out_specs=P(),
+    )
+    put = lambda t, s: jax.device_put(t, NamedSharding(mesh, s))
+    stacked_vars = jax.tree_util.tree_map(
+        lambda t, s: put(t, s), stacked_vars, v_spec,
+        is_leaf=lambda t: hasattr(t, "shape"),
+    )
+    outs = fn(stacked_vars, put(rngs, P(axis, None)), put(xs_sched, P()))
+    return outs.reshape(B, *x.shape[1:])
+
+
+# ─── ViT glue: embed / head as pure functions over the params tree ────────
+# Mirrors vit.py's forward exactly (patchify -> Dense -> CLS -> +pos, and
+# fp32 LayerNorm -> Dense head); pinned to the module by the equality test
+# in tests/test_pipeline.py so any drift in vit.py fails loudly.
+
+def vit_embed(params, x, patch_size: int, dtype=jnp.float32):
+    from ..models.vit import patchify
+
+    B = x.shape[0]
+    h = patchify(x, patch_size).astype(dtype)
+    pe = params["patch_embedding"]
+    h = h @ pe["kernel"].astype(dtype) + pe["bias"].astype(dtype)
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                           (B, 1, h.shape[-1]))
+    h = jnp.concatenate([cls, h], axis=1)
+    return h + params["pos_embedding"].astype(dtype)
+
+
+def vit_head(params, h):
+    cls = h[:, 0].astype(jnp.float32)
+    ln = params["head_norm"]
+    mean = jnp.mean(cls, axis=-1, keepdims=True)
+    var = jnp.var(cls, axis=-1, keepdims=True)
+    cls = (cls - mean) * jax.lax.rsqrt(var + 1e-5) * ln["scale"] + ln["bias"]
+    hd = params["head"]
+    return cls @ hd["kernel"] + hd["bias"]
+
+
+def make_block_apply(model, deterministic: bool = True):
+    """block_apply closure for `pipeline_blocks` built from a ViT module:
+    applies ONE TransformerBlock given its stacked-slice variables."""
+    from ..models.layers import TransformerBlock
+
+    block = TransformerBlock(
+        dim=model.dim,
+        heads=model.heads,
+        mlp_dim=model.mlp_dim,
+        num_patches=model.num_patches + 1,
+        dropout=model.dropout,
+        attention_type=model.attention_type,
+        rpe_type=model.rpe_type,
+        attention_kwargs=model.attention_kwargs,
+        rpe_kwargs=model.rpe_kwargs,
+        dtype=model.dtype,
+    )
+
+    def block_apply(block_vars, rng, h):
+        variables = {"params": block_vars["params"]}
+        if "constants" in block_vars:
+            variables["constants"] = block_vars["constants"]
+        rngs = None if deterministic else {"dropout": rng}
+        return block.apply(variables, h, deterministic=deterministic,
+                           rngs=rngs)
+
+    return block_apply
+
+
+def pipeline_vit_forward(model, variables, x, mesh, axis: str = "pipe",
+                         n_microbatches: Optional[int] = None,
+                         deterministic: bool = True, rng=None):
+    """Full ViT forward with the block stack pipelined over `axis`.
+
+    Embed and head run replicated; numerically equal to
+    `model.apply(variables, x, deterministic=True)` when deterministic.
+    """
+    stacked, rest = stack_block_variables(variables, model.depth)
+    rngs = None
+    if not deterministic and rng is not None:
+        rngs = jax.random.split(rng, model.depth)
+    h = vit_embed(rest["params"], x, model.patch_size,
+                  jnp.dtype(model.dtype))
+    h = pipeline_blocks(
+        make_block_apply(model, deterministic), stacked, rngs, h, mesh,
+        axis=axis, n_microbatches=n_microbatches,
+    )
+    return vit_head(rest["params"], h)

@@ -1,0 +1,95 @@
+"""Pipeline parallelism vs the sequential model (8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_rpe_vit_tpu.configs import mnist_config
+from efficient_rpe_vit_tpu.models import create_model
+from efficient_rpe_vit_tpu.parallel import make_mesh
+from efficient_rpe_vit_tpu.parallel.pipeline import (
+    pipeline_vit_forward,
+    stack_block_variables,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 simulated devices"
+)
+
+
+def _mesh_pipe(n_pipe: int):
+    return make_mesh(n_model=n_pipe, axis_names=("data", "pipe"))
+
+
+def test_stack_block_variables_shapes(rng):
+    cfg = mnist_config()
+    model = create_model("performer_favor_most_general", cfg, depth=4)
+    variables = model.init({"params": rng}, jnp.zeros((2, 28, 28, 1)))
+    stacked, rest = stack_block_variables(variables, 4)
+    qkv = stacked["params"]["attention"]["qkv"]["kernel"]
+    assert qkv.shape[0] == 4  # leading stack axis
+    assert stacked["constants"]["attention"]["omega"].shape[0] == 4
+    assert "patch_embedding" in rest["params"]
+    assert not any(k.startswith("block_") for k in rest["params"])
+
+
+@pytest.mark.parametrize(
+    "variant", ["baseline", "performer_favor_most_general"]
+)
+@pytest.mark.parametrize("n_micro", [4, 8])
+def test_pipeline_matches_sequential(rng, variant, n_micro):
+    """GPipe forward over 4 stages == sequential forward, bit-close."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model(variant, cfg, depth=4)
+    mesh = _mesh_pipe(4)
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    variables = model.init({"params": rng}, x, deterministic=True)
+
+    want = jax.jit(
+        lambda v, x: model.apply(v, x, deterministic=True)
+    )(variables, x)
+    got = jax.jit(
+        lambda v, x: pipeline_vit_forward(model, v, x, mesh,
+                                          n_microbatches=n_micro)
+    )(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_gradients_match(rng):
+    """Reverse-mode AD through the pipeline (scan + ppermute transpose)
+    reproduces the sequential model's parameter gradients."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor_most_general", cfg, depth=4)
+    mesh = _mesh_pipe(4)
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    variables = model.init({"params": rng}, x, deterministic=True)
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_seq(p):
+        return jnp.sum(model.apply({**consts, "params": p}, x,
+                                   deterministic=True) ** 2)
+
+    def loss_pipe(p):
+        return jnp.sum(pipeline_vit_forward(
+            model, {**consts, "params": p}, x, mesh) ** 2)
+
+    g_seq = jax.jit(jax.grad(loss_seq))(variables["params"])
+    g_pipe = jax.jit(jax.grad(loss_pipe))(variables["params"])
+    flat_seq = jax.tree_util.tree_leaves_with_path(g_seq)
+    flat_pipe = jax.tree_util.tree_leaves(g_pipe)
+    for (path, a), b in zip(flat_seq, flat_pipe):
+        assert not np.isnan(np.asarray(b)).any(), f"NaN grads at {path}"
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5, err_msg=str(path))
+
+
+def test_pipeline_rejects_bad_shapes(rng):
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)  # depth 3, not divisible by 4
+    mesh = _mesh_pipe(4)
+    x = jnp.zeros((8, 28, 28, 1))
+    variables = model.init({"params": rng}, x, deterministic=True)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline_vit_forward(model, variables, x, mesh)
