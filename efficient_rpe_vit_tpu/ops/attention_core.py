@@ -32,21 +32,33 @@ from .fft_toeplitz import toeplitz_from_coeffs, toeplitz_matmul_fft
 
 EPS = 1e-6  # denominator stabiliser (reference: favor_plus.py:260)
 
-# Below this sequence length the masked-matmul KERPLE path wins on TPU.
-KERPLE_DENSE_CROSSOVER_N = 256
-# Dispatch thresholds, set from chained-dependency A/B measurements on a
-# real v5e chip (cross-run pool noise is 2-3x; only same-process chained
-# loops are trustworthy):
-#   KERPLE grad, N=197 B=256 (F=44, D=16):  dense-XLA 2.49 ms,
-#       pallas fwd+XLA bwd 6.09 ms, pallas fwd+bwd 9.55 ms
-#   KERPLE grad, N=256 B=32 (F=256, D=64):  dense-XLA 3.66 ms,
-#       pallas 5.10 / 6.66 ms
-# XLA's fusions win at every ViT-relevant shape — the Pallas kernels' lane
-# padding (D,F -> 128) costs more than the HBM traffic they save. They
-# remain available via method="pallas" (useful reference kernels, and the
-# right starting point if head dims grow past 128), but 'auto' never picks
-# them. Long sequences route to the O(N log N) FFT path instead.
-FLASH_MIN_N = 10**9  # flash kernel: explicit opt-in only (same rationale)
+# KERPLE dense-vs-FFT dispatch. Round-2 value-fetch A/B on a real v5e
+# (experiments/crossover_ab.py, B=8 H=2 F=44 D=16 bf16, chained, median of
+# 3 — full table in docs/BENCHMARKING.md): the dense masked-matmul path
+# wins at EVERY measured N, both directions, by growing margins:
+#   N=197:  fwd 1.78 vs 2.27 ms,   grad 0.94 vs 3.76 ms
+#   N=1024: fwd 2.92 vs 25.2 ms,   grad 3.02 vs 47.9 ms
+#   N=4096: fwd 48.5 vs 405 ms,    grad 51.7 vs 763 ms   (dense vs fft)
+# O(N^2)-on-MXU beats O(N log N)-in-XLA-FFT throughout the practical
+# range; the FFT path's complex twiddle work and [B,H,N,F*block]
+# intermediates never pay for themselves. The crossover is therefore
+# MEMORY-bound, not time-bound: switch to FFT only where the dense path's
+# [B,H,N,N] fp32 weights would strain HBM (N=8192 at B=8,H=2 is ~4.3 GB).
+KERPLE_DENSE_CROSSOVER_N = 8192
+# Pallas masked-linear kernels: XLA's fused dense path also beat them at
+# every ViT-relevant shape in round-1 A/Bs (re-confirmed direction in
+# round 2) — the lane padding (D,F -> 128) costs more than the HBM traffic
+# they save. They remain explicit opt-ins via method="pallas" (reference
+# kernels, and the right starting point if head dims grow past 128).
+#
+# Flash softmax kernel: round-2 value-fetch A/B (experiments/flash_ab.py,
+# B=8 H=4 D=64 bf16): XLA wins at every measured N>=512 (fwd 6.7 vs
+# 17.6 ms at N=4096; grad 23.3 vs 48.6 ms) and ties the backward at
+# N=197 where flash takes the forward (0.90 vs 1.66 ms). A fused-forward
+# inference win at N~200 doesn't justify auto-dispatch complexity, so the
+# kernel stays explicit opt-in; its tiled backward keeps the no-[N,N]-in-
+# HBM memory story for callers who want it.
+FLASH_MIN_N = 10**9  # flash kernel: explicit opt-in only
 
 
 def _pallas_ok() -> bool:

@@ -20,10 +20,19 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Below this sequence length the dense O(n^2) MXU path beats the FFT path.
-# n=128 dense work is a single MXU tile; FFT needs several VPU passes +
-# complex arithmetic. Crossover measured conservatively.
-DENSE_CROSSOVER_N = 128
+# Raw T @ x dispatch window, measured on a real v5e with value-fetch
+# chained A/Bs (experiments/crossover_ab.py, [8,2,N,44] bf16; full table
+# in docs/BENCHMARKING.md): FFT wins only in a middle window —
+#   N=197: dense 0.76 vs fft 0.49 ms   N=256: 0.71 vs 0.42   (fft wins)
+#   N=512: 0.74 vs 0.87                N=4096: 35.3 vs 38.1  (dense wins)
+# Below ~128 the dense work is a couple of MXU tiles and FFT setup
+# dominates; above ~512 the FFT's complex VPU passes lose to the MXU's
+# raw matmul rate. 'auto' therefore uses FFT for FFT_MIN_N <= n <
+# FFT_MAX_N and dense elsewhere.
+FFT_MIN_N = 128
+FFT_MAX_N = 512
+# Back-compat alias (old single-sided rule's name; tests/docs reference it)
+DENSE_CROSSOVER_N = FFT_MIN_N
 
 
 def _seq_len_from_coeffs(c) -> int:
@@ -105,8 +114,9 @@ def toeplitz_matmul(c, x, method: str = "auto"):
     Args:
         c: [..., 2n-1] coefficients.
         x: [..., n, d] (also accepts [..., n], treated as d=1).
-        method: 'auto' | 'fft' | 'dense'. 'auto' picks dense for
-            n < DENSE_CROSSOVER_N (trace-time static shape), else fft.
+        method: 'auto' | 'fft' | 'dense'. 'auto' picks fft only in the
+            measured [FFT_MIN_N, FFT_MAX_N) window (trace-time static
+            shape), dense elsewhere.
     """
     squeeze = x.ndim == c.ndim  # vector input [..., n]
     if squeeze:
@@ -117,7 +127,7 @@ def toeplitz_matmul(c, x, method: str = "auto"):
             f"coefficient length {c.shape[-1]} != 2n-1={2 * n - 1} for n={n}"
         )
     if method == "auto":
-        method = "dense" if n < DENSE_CROSSOVER_N else "fft"
+        method = "fft" if FFT_MIN_N <= n < FFT_MAX_N else "dense"
     if method == "dense":
         y = toeplitz_matmul_dense(c, x)
     elif method == "fft":
