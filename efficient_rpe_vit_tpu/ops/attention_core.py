@@ -45,11 +45,18 @@ EPS = 1e-6  # denominator stabiliser (reference: favor_plus.py:260)
 # MEMORY-bound, not time-bound: switch to FFT only where the dense path's
 # [B,H,N,N] fp32 weights would strain HBM (N=8192 at B=8,H=2 is ~4.3 GB).
 KERPLE_DENSE_CROSSOVER_N = 8192
-# Pallas masked-linear kernels: XLA's fused dense path also beat them at
-# every ViT-relevant shape in round-1 A/Bs (re-confirmed direction in
-# round 2) — the lane padding (D,F -> 128) costs more than the HBM traffic
-# they save. They remain explicit opt-ins via method="pallas" (reference
-# kernels, and the right starting point if head dims grow past 128).
+# Pallas masked-linear kernel: stays an explicit opt-in after a two-level
+# round-2 re-measurement (value-fetch protocol). ISOLATED, the fused
+# Pallas forward + residual backward beat the dense path at every tested
+# shape (experiments/pallas_ab.py: 2.83-3.40 ms vs 3.04-5.83 ms at the
+# bench shape) — but IN THE FULL TRAIN STEP the dense path is 2x faster
+# (same-process interleaved A/B: 37-38k img/s dense vs 18.3k pallas),
+# because XLA fuses the dense einsums with the surrounding feature-map /
+# projection ops while the Pallas custom call is a fusion and layout
+# barrier. Lesson recorded in docs/BENCHMARKING.md: kernel wins must be
+# validated at the model level before touching dispatch. The fully-fused
+# Pallas backward (masked_linear_bwd.py) also lost to the residual-formula
+# backward at every tested shape.
 #
 # Flash softmax kernel: round-2 value-fetch A/B (experiments/flash_ab.py,
 # B=8 H=4 D=64 bf16): XLA wins at every measured N>=512 (fwd 6.7 vs
@@ -167,10 +174,34 @@ def kerple_linear_attention(q_prime, k_prime, v, coeffs, method: str = "auto",
     raise ValueError(f"unknown method {method!r}")
 
 
-def _kerple_dense(q_prime, k_prime, v, coeffs):
-    """Exact O(N^2) MXU path via W = (q' k'^T) ⊙ T; out = W v / W 1."""
-    n = q_prime.shape[2]
-    T = toeplitz_from_coeffs(coeffs, n)  # [H, N, N]
+def masked_linear_vjp_residual(q_prime, k_prime, v, T, den, out, g):
+    """Explicit VJP of Toeplitz-masked linear attention from saved
+    (den, out) residuals — no forward-graph recompute:
+        dW = (gn v^T - s), dA = dW*T, dT = sum_b dW*A,
+        dq' = dA k', dk' = dA^T q', dv = W^T gn.
+    Measured 2-3x cheaper than XLA autodiff's recompute backward at the
+    bench shape (experiments/pallas_ab.py; docs/BENCHMARKING.md). Shared by
+    the dense custom_vjp below and the Pallas kernel's 'jnp_residual' mode.
+    """
+    gn = (g / (den[..., None] + EPS)).astype(jnp.float32)
+    s = jnp.sum(g * out, axis=-1) / (den + EPS)  # [B,H,N]
+    A = jnp.einsum("bhif,bhjf->bhij", q_prime, k_prime,
+                   preferred_element_type=jnp.float32)
+    M = jnp.einsum("bhid,bhjd->bhij", gn, v.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    dW = M - s[..., None]
+    dA = dW * T[None]
+    dT = jnp.sum(dW * A, axis=0)  # [H,N,N]
+    dq = jnp.einsum("bhij,bhjf->bhif", dA, k_prime,
+                    preferred_element_type=jnp.float32).astype(q_prime.dtype)
+    dk = jnp.einsum("bhij,bhif->bhjf", dA, q_prime,
+                    preferred_element_type=jnp.float32).astype(k_prime.dtype)
+    dv = jnp.einsum("bhij,bhid->bhjd", A * T[None], gn,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    return dq, dk, dv, dT.astype(T.dtype)
+
+
+def _kerple_dense_core_fwd_impl(q_prime, k_prime, v, T):
     A = jnp.einsum(
         "bhif,bhjf->bhij", q_prime, k_prime, preferred_element_type=jnp.float32
     )
@@ -180,7 +211,35 @@ def _kerple_dense(q_prime, k_prime, v, coeffs):
         preferred_element_type=jnp.float32,
     )
     den = jnp.sum(W, axis=-1)  # [B, H, N]
-    return (num / (den[..., None] + EPS)).astype(v.dtype)
+    return (num / (den[..., None] + EPS)).astype(v.dtype), den
+
+
+@jax.custom_vjp
+def _kerple_dense_core(q_prime, k_prime, v, T):
+    out, _ = _kerple_dense_core_fwd_impl(q_prime, k_prime, v, T)
+    return out
+
+
+def _kdc_fwd(q_prime, k_prime, v, T):
+    out, den = _kerple_dense_core_fwd_impl(q_prime, k_prime, v, T)
+    return out, (q_prime, k_prime, v, T, den, out)
+
+
+def _kdc_bwd(residuals, g):
+    return masked_linear_vjp_residual(*residuals, g)
+
+
+_kerple_dense_core.defvjp(_kdc_fwd, _kdc_bwd)
+
+
+def _kerple_dense(q_prime, k_prime, v, coeffs):
+    """Exact O(N^2) MXU path via W = (q' k'^T) ⊙ T; out = W v / W 1.
+
+    Backward uses the explicit residual-formula VJP (custom_vjp above) —
+    autodiff handles only the coeffs -> T Toeplitz gather."""
+    n = q_prime.shape[2]
+    T = toeplitz_from_coeffs(coeffs, n)  # [H, N, N]
+    return _kerple_dense_core(q_prime, k_prime, v, T)
 
 
 def _kerple_fft(q_prime, k_prime, v, coeffs, fft_block: int):

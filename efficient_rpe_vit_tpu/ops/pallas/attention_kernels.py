@@ -192,25 +192,11 @@ MASKED_LINEAR_BWD_MODE = "jnp_residual"
 
 
 def _masked_linear_bwd_jnp(q_prime, k_prime, v, T, den, out, g):
-    """Explicit VJP from residuals (no forward recompute):
-    dW = (gn v^T - s), dA = dW*T, dT = sum_b dW*A,
-    dq' = dA k', dk' = dA^T q', dv = W^T gn."""
-    gn = (g / (den[..., None] + EPS)).astype(jnp.float32)
-    s = jnp.sum(g * out, axis=-1) / (den + EPS)  # [B,H,N]
-    A = jnp.einsum("bhif,bhjf->bhij", q_prime, k_prime,
-                   preferred_element_type=jnp.float32)
-    M = jnp.einsum("bhid,bhjd->bhij", gn, v.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
-    dW = M - s[..., None]
-    dA = dW * T[None]
-    dT = jnp.sum(dW * A, axis=0)  # [H,N,N]
-    dq = jnp.einsum("bhij,bhjf->bhif", dA, k_prime,
-                    preferred_element_type=jnp.float32).astype(q_prime.dtype)
-    dk = jnp.einsum("bhij,bhif->bhjf", dA, q_prime,
-                    preferred_element_type=jnp.float32).astype(k_prime.dtype)
-    dv = jnp.einsum("bhij,bhid->bhjd", A * T[None], gn,
-                    preferred_element_type=jnp.float32).astype(v.dtype)
-    return dq, dk, dv, dT.astype(T.dtype)
+    """Explicit VJP from residuals — shared formula in attention_core
+    (also the dense path's custom_vjp backward)."""
+    from ..attention_core import masked_linear_vjp_residual
+
+    return masked_linear_vjp_residual(q_prime, k_prime, v, T, den, out, g)
 
 
 def _fml_bwd(block_q, block_kv, interpret, residuals, g):

@@ -179,3 +179,26 @@ def test_long_context_linear_and_kerple(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_kerple_dense_custom_vjp_matches_fft_autodiff(kerple_inputs):
+    """The dense path's explicit residual-formula VJP (custom_vjp) must
+    match autodiff through the independent FFT path for ALL inputs
+    including the Toeplitz coefficients."""
+    qp, kp, v, coeffs = kerple_inputs
+    qp, kp, v = qp[:2, :, :64], kp[:2, :, :64], v[:2, :, :64]
+    N = qp.shape[2]
+    coeffs = coeffs[:, : 2 * N - 1]
+
+    def loss(method):
+        def f(qp, kp, v, c):
+            return jnp.sum(
+                kerple_linear_attention(qp, kp, v, c, method=method) ** 2
+            )
+        return f
+
+    g_dense = jax.grad(loss("dense"), argnums=(0, 1, 2, 3))(qp, kp, v, coeffs)
+    g_fft = jax.grad(loss("fft"), argnums=(0, 1, 2, 3))(qp, kp, v, coeffs)
+    for a, b in zip(g_dense, g_fft):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
