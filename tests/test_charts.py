@@ -1,12 +1,8 @@
 """Chart-builder smoke tests (matplotlib Agg; no TPU, no streamlit)."""
 
-import sys
-
 import pytest
 
 matplotlib = pytest.importorskip("matplotlib")
-
-sys.path.insert(0, "/root/repo")
 
 from efficient_rpe_vit_tpu.train import compute_convergence_metrics  # noqa: E402
 from experiments import charts  # noqa: E402
