@@ -46,28 +46,49 @@ def bench(N: int, token_budget: int = 32768, H: int = 8, D: int = 64,
             softmax_attention(q, k, v, D ** -0.5) ** 2
         ).astype(jnp.float32)
 
+    def flash_loss(q, k, v):
+        from efficient_rpe_vit_tpu.ops.pallas import flash_softmax_attention
+
+        return jnp.sum(
+            flash_softmax_attention(q, k, v, D ** -0.5) ** 2
+        ).astype(jnp.float32)
+
     def lin_loss(qp, kp, v):
         return jnp.sum(linear_attention(qp, kp, v) ** 2).astype(jnp.float32)
 
     def fb(cur, out):
         return (cur[0] + 0 * out[0].astype(cur[0].dtype), cur[1], cur[2])
 
-    t_soft = chained_time(jax.jit(jax.grad(soft_loss, argnums=(0, 1, 2))),
-                          (q, k, v), steps, fb)
-    t_lin = chained_time(jax.jit(jax.grad(lin_loss, argnums=(0, 1, 2))),
-                         (qp, kp, v), steps, fb)
-    return B, t_soft, t_lin
+    def timed(loss, args):
+        return chained_time(jax.jit(jax.grad(loss, argnums=(0, 1, 2))),
+                            args, steps, fb)
+
+    # The dense softmax backward keeps ~3 [B,H,N,N] fp32 temps; past the
+    # HBM budget the remote compiler itself falls over — predict the
+    # O(N^2) memory wall instead of tripping it.
+    softmax_bytes = 3 * B * H * N * N * 4
+    t_soft = (timed(soft_loss, (q, k, v))
+              if softmax_bytes < 12e9 else None)
+    # flash kernel: no [N,N] in HBM in either direction — runs where the
+    # dense path can't
+    t_flash = timed(flash_loss, (q, k, v))
+    t_lin = timed(lin_loss, (qp, kp, v))
+    return B, t_soft, t_flash, t_lin
 
 
 def main():
     print(f"backend={jax.default_backend()}  H=8 D=64 F=266 bf16, "
           f"fwd+bwd, token budget 32768, value-fetch chained timing")
-    print("| N | B | softmax (ms) | linear/FAVOR+ (ms) | speedup |")
-    print("|---|---|---|---|---|")
+    print("| N | B | softmax XLA (ms) | flash Pallas (ms) | "
+          "linear/FAVOR+ (ms) | linear speedup |")
+    print("|---|---|---|---|---|---|")
     for N in [256, 1024, 4096, 16384]:
-        B, ts, tl = bench(N)
-        print(f"| {N} | {B} | {ts*1e3:.2f} | {tl*1e3:.2f} | "
-              f"{ts/tl:.1f}x |", flush=True)
+        B, ts, tf, tl = bench(N)
+        s = f"{ts*1e3:.2f}" if ts is not None else "OOM"
+        f = f"{tf*1e3:.2f}" if tf is not None else "OOM"
+        ref = ts if ts is not None else tf
+        sp = f"{ref/tl:.1f}x" if ref is not None and tl else "—"
+        print(f"| {N} | {B} | {s} | {f} | {tl*1e3:.2f} | {sp} |", flush=True)
 
 
 if __name__ == "__main__":
