@@ -26,7 +26,6 @@ Scope notes:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax
