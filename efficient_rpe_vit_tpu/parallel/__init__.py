@@ -1,5 +1,6 @@
 from .mesh import make_mesh, make_param_specs, shard_pytree, batch_spec
 from .pipeline import (
+    make_pipeline_train_step,
     pipeline_blocks,
     pipeline_vit_forward,
     stack_block_variables,
@@ -23,6 +24,7 @@ __all__ = [
     "make_parallel_train_step",
     "create_sharded_train_state",
     "parallel_train_epoch",
+    "make_pipeline_train_step",
     "pipeline_blocks",
     "pipeline_vit_forward",
     "stack_block_variables",

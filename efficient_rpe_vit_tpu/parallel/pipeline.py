@@ -230,3 +230,39 @@ def pipeline_vit_forward(model, variables, x, mesh, axis: str = "pipe",
         axis=axis, n_microbatches=n_microbatches,
     )
     return vit_head(rest["params"], h)
+
+
+def make_pipeline_train_step(model, mesh, axis: str = "pipe",
+                             n_microbatches: Optional[int] = None):
+    """Jitted train step with the block stack pipeline-parallel over `axis`.
+
+    Same (state, images, labels, rng) -> (state, loss, correct) contract as
+    `make_parallel_train_step`; the backward runs the reverse GPipe
+    schedule automatically (lax.scan + ppermute transpose). Parameters
+    live un-stacked in the TrainState — stacking happens inside the jitted
+    step (a transpose, free under XLA) so the optimizer and checkpointing
+    see the ordinary per-block tree.
+    """
+    from ..train.training import cross_entropy_loss
+
+    @jax.jit
+    def step(state, images, labels, rng):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.constants is not None:
+                variables["constants"] = state.constants
+            logits = pipeline_vit_forward(
+                model, variables, images, mesh, axis=axis,
+                n_microbatches=n_microbatches,
+                deterministic=False, rng=rng,
+            )
+            return cross_entropy_loss(logits, labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads)
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return new_state, loss, correct
+
+    return step
