@@ -35,7 +35,8 @@ def test_stack_block_variables_shapes(rng):
 
 
 @pytest.mark.parametrize(
-    "variant", ["baseline", "performer_favor_most_general"]
+    "variant", ["baseline", "baseline_rope", "performer_relu_circulant",
+                "performer_favor_most_general"]
 )
 @pytest.mark.parametrize("n_micro", [4, 8])
 def test_pipeline_matches_sequential(rng, variant, n_micro):
