@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Offline inference CLI: load a checkpoint, classify images.
+
+The deployment-facing surface the training CLIs don't cover: restore a
+`save_checkpoint` msgpack (metadata identifies the variant), build the
+jitted forward once, and either
+
+  * classify a .npy batch ([N, H, W], [N, H, W, C] or flattened) to a
+    JSON/NPY prediction file, or
+  * evaluate the dataset test split (default) printing accuracy +
+    synchronized latency stats.
+
+Examples:
+    python experiments/predict.py --checkpoint ckpt.msgpack
+    python experiments/predict.py --checkpoint ckpt.msgpack \
+        --input digits.npy --output preds.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True,
+                   help="path written by save_checkpoint (msgpack)")
+    p.add_argument("--model", default=None,
+                   help="variant name; default from the checkpoint metadata")
+    p.add_argument("--dataset", default=None, choices=[None, "mnist", "cifar10"],
+                   help="config to build with; default from metadata")
+    p.add_argument("--input", default=None,
+                   help=".npy images to classify; omit to evaluate the "
+                        "dataset test split")
+    p.add_argument("--output", default=None,
+                   help="write predictions to .json or .npy")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_rpe_vit_tpu.configs import cifar10_config, mnist_config
+    from efficient_rpe_vit_tpu.data import get_dataloaders
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.train import create_train_state
+    from efficient_rpe_vit_tpu.train.checkpoint import load_checkpoint
+
+    meta_path = args.checkpoint + ".meta.json"
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f).get("metadata", {})
+    model_name = args.model or meta.get("model_name")
+    dataset = args.dataset or meta.get("dataset", "mnist")
+    if model_name is None:
+        raise SystemExit("--model required (checkpoint has no metadata)")
+
+    cfg = mnist_config() if dataset == "mnist" else cifar10_config()
+    model = create_model(model_name, cfg)
+    m = cfg.model
+    sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), sample)
+    state, _ = load_checkpoint(args.checkpoint, state)
+
+    variables = {"params": state.params}
+    if state.constants is not None:
+        variables["constants"] = state.constants
+    fwd = jax.jit(lambda v, x: model.apply(v, x, deterministic=True))
+
+    mean = np.asarray(cfg.data.mean, np.float32)
+    std = np.asarray(cfg.data.std, np.float32)
+
+    def normalise(x):
+        x = np.asarray(x, np.float32)
+        if x.max() > 1.5:  # raw 0-255 input
+            x = x / 255.0
+        return (x - mean) / std
+
+    if args.input:
+        x = np.load(args.input)
+        if x.ndim == 2:  # single flattened image or [N, H*W]
+            side = int(np.sqrt(x.shape[-1] / m.in_channels))
+            x = x.reshape(-1, side, side, m.in_channels)
+        elif x.ndim == 3:  # [N, H, W] grayscale
+            x = x[..., None]
+        x = normalise(x)
+        preds = []
+        for i in range(0, len(x), args.batch_size):
+            logits = fwd(variables, jnp.asarray(x[i:i + args.batch_size]))
+            preds.append(np.argmax(np.asarray(logits), -1))
+        preds = np.concatenate(preds)
+        if args.output:
+            if args.output.endswith(".npy"):
+                np.save(args.output, preds)
+            else:
+                with open(args.output, "w") as f:
+                    json.dump({"model": model_name,
+                               "predictions": preds.tolist()}, f)
+            print(f"{len(preds)} predictions written to {args.output}")
+        else:
+            print(preds.tolist())
+        return preds
+
+    # evaluate the dataset test split
+    from efficient_rpe_vit_tpu.train.training import (
+        benchmark_inference, make_eval_step,
+    )
+
+    _, test_ds = get_dataloaders(cfg)
+    eval_step = make_eval_step(model)
+    from efficient_rpe_vit_tpu.train.training import evaluate
+
+    result = evaluate(state, eval_step, test_ds)
+    bench_x, _ = next(iter(test_ds))
+    inf = benchmark_inference(state, model, bench_x[:args.batch_size],
+                              num_warmup=3, num_iterations=20, fwd=fwd)
+    print(f"{model_name} on {dataset} test split: "
+          f"acc {result['accuracy']:.2f}% over {result['samples']} samples; "
+          f"{inf['throughput_images_per_sec']:.1f} img/s, "
+          f"p50 {inf['latency_p50_ms']:.2f} ms/batch")
+    return result
+
+
+if __name__ == "__main__":
+    main()

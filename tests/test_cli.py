@@ -192,3 +192,36 @@ def test_favor_hyper_variant(tmp_path):
     # feature dim doubles: omega [H, D, m] -> phi produces 2m features
     omega = v["constants"]["block_0"]["attention"]["omega"]
     assert omega.shape == (2, 16, 44)
+
+
+def test_predict_cli(tmp_path, rng):
+    """predict.py classifies an .npy batch from a saved checkpoint."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.train import create_train_state
+    from efficient_rpe_vit_tpu.train.checkpoint import save_checkpoint
+    from experiments.predict import main as predict_main
+
+    cfg = mnist_config()
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    ckpt = str(tmp_path / "ck.msgpack")
+    save_checkpoint(ckpt, state, epoch=0,
+                    metadata={"model_name": "baseline", "dataset": "mnist"})
+
+    x = (np.random.default_rng(0).integers(0, 255, (4, 28, 28))
+         .astype(np.uint8))
+    np.save(tmp_path / "digits.npy", x)
+    out = str(tmp_path / "preds.json")
+    preds = predict_main([
+        "--checkpoint", ckpt, "--input", str(tmp_path / "digits.npy"),
+        "--output", out, "--cpu",
+    ])
+    assert preds.shape == (4,)
+    import json as _json
+
+    data = _json.load(open(out))
+    assert data["model"] == "baseline" and len(data["predictions"]) == 4
