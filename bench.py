@@ -84,21 +84,26 @@ def main():
                                      m.in_channels))
     labels = jnp.arange(BATCH) % m.num_classes
 
+    def chain_barrier(state, loss):
+        """Value fetch covering the ENTIRE chain: the loss alone forces only
+        the last step's forward; folding in a param leaf forces its
+        backward + optimizer update as well. block_until_ready must not be
+        used — it can return early through the tunnel (docs/BENCHMARKING.md
+        rule 6)."""
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        return float(loss + 0.0 * jnp.sum(leaf.astype(jnp.float32)))
+
     key = rng
     for _ in range(WARMUP_STEPS):
         key, sub = jax.random.split(key)
         state, loss, _ = train_step(state, images, labels, sub)
-    float(loss)  # value fetch: the only barrier the tunnel honours
+    chain_barrier(state, loss)
 
     t0 = time.perf_counter()
     for _ in range(TIMED_STEPS):
         key, sub = jax.random.split(key)
         state, loss, _ = train_step(state, images, labels, sub)
-    # The final loss depends on the final step's params (donated chain), so
-    # fetching its VALUE is a true end-of-chain barrier; block_until_ready
-    # has been observed to return early through the tunnel (round 2,
-    # docs/BENCHMARKING.md rule 6) and must not be used for timing.
-    float(loss)
+    chain_barrier(state, loss)
     elapsed = time.perf_counter() - t0
 
     images_per_sec = BATCH * TIMED_STEPS / elapsed
@@ -108,14 +113,16 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
     }
-    # MFU from the compiled HLO's own FLOP count (XLA cost analysis) against
-    # the chip's bf16 peak — the honest cross-hardware efficiency metric
-    # (VERDICT r1 missing #6). Guarded: cost_analysis availability varies by
-    # backend/plugin version.
+    # MFU from the HLO's own FLOP count (XLA cost analysis) against the
+    # chip's bf16 peak — the honest cross-hardware efficiency metric
+    # (VERDICT r1 missing #6). Lowered.cost_analysis() reads the estimate
+    # WITHOUT a second compile (lower().compile() would recompile the whole
+    # step, minutes through the tunnel — review finding). Guarded:
+    # availability varies by backend/plugin version.
     try:
         key, sub = jax.random.split(key)
-        ca = train_step.lower(state, images, labels, sub).compile()
-        flops = float(ca.cost_analysis()["flops"])
+        lowered = train_step.lower(state, images, labels, sub)
+        flops = float(lowered.cost_analysis()["flops"])
         result["flops_per_step"] = flops
         result["mfu"] = round(
             flops * TIMED_STEPS / elapsed / PEAK_FLOPS_BF16, 5
@@ -125,7 +132,9 @@ def main():
     if _FALLBACK:
         # the accelerator tunnel was unreachable; this number is CPU-only
         result["backend"] = "cpu-fallback"
-        result.pop("mfu", None)  # MFU vs TPU peak is meaningless on CPU
+        # MFU/FLOP-rate vs the TPU peak are meaningless on CPU
+        result.pop("mfu", None)
+        result.pop("flops_per_step", None)
     print(json.dumps(result))
 
 

@@ -99,6 +99,15 @@ class SoftmaxAttention(nn.Module):
                     "context-parallel softmax attention supports neither "
                     "masks nor return_attention"
                 )
+            if self.dropout > 0 and not deterministic:
+                # the ring never materialises the probability matrix, so
+                # attention-probability dropout cannot be applied — refuse
+                # loudly rather than silently training a different model
+                raise NotImplementedError(
+                    "context-parallel softmax attention does not support "
+                    "attention-probability dropout; set dropout=0 or train "
+                    "without seq_mesh"
+                )
             from ..parallel.seq_parallel import ring_softmax_attention
 
             out = ring_softmax_attention(

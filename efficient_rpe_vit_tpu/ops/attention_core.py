@@ -43,8 +43,12 @@ EPS = 1e-6  # denominator stabiliser (reference: favor_plus.py:260)
 # range; the FFT path's complex twiddle work and [B,H,N,F*block]
 # intermediates never pay for themselves. The crossover is therefore
 # MEMORY-bound, not time-bound: switch to FFT only where the dense path's
-# [B,H,N,N] fp32 weights would strain HBM (N=8192 at B=8,H=2 is ~4.3 GB).
-KERPLE_DENSE_CROSSOVER_N = 8192
+# [B,H,N,N] fp32 tensors would strain HBM. The residual backward holds ~5
+# such tensors live (A, M, dW, dA, A*T), so the guard is on total bytes —
+# a function of B and H as well as N (review finding: an N-only threshold
+# OOMs at training batches, e.g. B=256 H=2 N=1024 is ~8.6 GB per tensor).
+KERPLE_DENSE_CROSSOVER_N = 8192           # hard N cap for the dense path
+KERPLE_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 5 temps
 # Pallas masked-linear kernel: stays an explicit opt-in after a two-level
 # round-2 re-measurement (value-fetch protocol). ISOLATED, the fused
 # Pallas forward + residual backward beat the dense path at every tested
@@ -152,15 +156,23 @@ def kerple_linear_attention(q_prime, k_prime, v, coeffs, method: str = "auto",
         q_prime, k_prime: [B, H, N, F].
         v: [B, H, N, D].
         coeffs: [H, 2N-1] positive Toeplitz coefficients c = exp(rel_pos_bias).
-        method: 'auto' | 'dense' | 'fft'. 'auto' chooses dense (masked matmul,
-            exact same result) for N < KERPLE_DENSE_CROSSOVER_N.
+        method: 'auto' | 'dense' | 'fft'. 'auto' chooses dense (masked
+            matmul, exact same result) unless N exceeds
+            KERPLE_DENSE_CROSSOVER_N or the dense path's ~5 live [B,H,N,N]
+            fp32 temporaries would exceed KERPLE_DENSE_MEMORY_BUDGET.
         fft_block: head_dim streaming block for the FFT path's memory cap.
     Returns:
         [B, H, N, D].
     """
-    n = q_prime.shape[2]
+    b, h, n = q_prime.shape[0], q_prime.shape[1], q_prime.shape[2]
     if method == "auto":
-        method = "dense" if n < KERPLE_DENSE_CROSSOVER_N else "fft"
+        dense_bytes = 5 * b * h * n * n * 4  # ~5 live [B,H,N,N] fp32 temps
+        method = (
+            "dense"
+            if n < KERPLE_DENSE_CROSSOVER_N
+            and dense_bytes <= KERPLE_DENSE_MEMORY_BUDGET
+            else "fft"
+        )
     if method == "pallas":
         from .fft_toeplitz import toeplitz_from_coeffs
         from .pallas import fused_masked_linear_attention

@@ -63,6 +63,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pad_len(n: int, block_q: int, block_kv: int) -> int:
+    """Sequence padding target: the LCM of the two block sizes, so BOTH
+    tile counts cover the whole padded sequence. Rounding to
+    max(block_q, block_kv) silently truncated the smaller block's tiling
+    when the sizes were unequal (review finding)."""
+    import math
+
+    lcm = block_q * block_kv // math.gcd(block_q, block_kv)
+    return _round_up(n, lcm)
+
+
 def _pad_axis(x, axis: int, target: int):
     pad = target - x.shape[axis]
     if pad == 0:
@@ -107,7 +118,7 @@ def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q: int,
                             block_kv: int, interpret: bool):
     B, H, N, F = q_prime.shape
     D = v.shape[-1]
-    Np = _round_up(N, max(block_q, block_kv))
+    Np = _pad_len(N, block_q, block_kv)
     Fp = _round_up(F, LANES)
     Dp = _round_up(D, LANES)
 
@@ -270,7 +281,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
 def _flash_fwd_impl(q, k, v, *, scale: float, block_q: int, block_kv: int,
                     interpret: bool):
     B, H, N, D = q.shape
-    Np = _round_up(N, max(block_q, block_kv))
+    Np = _pad_len(N, block_q, block_kv)
     Dp = _round_up(D, LANES)
 
     qp = _pad_axis(_pad_axis(q, 2, Np), 3, Dp)

@@ -142,10 +142,10 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
     Returns:
         (dq, dk, dv).
     """
-    from .attention_kernels import LANES, _pad_axis, _round_up
+    from .attention_kernels import LANES, _pad_axis, _pad_len, _round_up
 
     B, H, N, D = q.shape
-    Np = _round_up(N, max(block_q, block_kv))
+    Np = _pad_len(N, block_q, block_kv)
     Dp = _round_up(D, LANES)
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)

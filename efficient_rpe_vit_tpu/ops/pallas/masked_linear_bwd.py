@@ -155,11 +155,11 @@ def masked_linear_bwd(q_prime, k_prime, v, T, den, out, g, *,
     Returns:
         (dq_prime, dk_prime, dv, dT).
     """
-    from .attention_kernels import EPS, _pad_axis, _round_up, LANES
+    from .attention_kernels import EPS, _pad_axis, _pad_len, _round_up, LANES
 
     B, H, N, F = q_prime.shape
     D = v.shape[-1]
-    Np = _round_up(N, max(block_q, block_kv))
+    Np = _pad_len(N, block_q, block_kv)
     Fp = _round_up(F, LANES)
     Dp = _round_up(D, LANES)
 

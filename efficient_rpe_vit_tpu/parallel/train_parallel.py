@@ -195,8 +195,12 @@ def parallel_train_epoch(
         total_loss = total_loss + loss * images.shape[0]
         total_correct = total_correct + correct
         total_seen += images.shape[0]
-    # value fetch = true barrier (utils/timing.py), before reading the clock
-    final_loss = float(total_loss)
+    # value fetch = true barrier (utils/timing.py), before reading the
+    # clock; folding in a param leaf forces the final step's update too
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    final_loss = float(
+        total_loss + 0.0 * jnp.sum(leaf.astype(jnp.float32))
+    )
     epoch_time = time.perf_counter() - t0
     return state, {
         "loss": final_loss / max(1, total_seen),

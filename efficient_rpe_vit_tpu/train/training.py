@@ -245,9 +245,14 @@ def train_epoch(
                 flush=True,
             )
     # Value fetch before reading the clock: block_until_ready can return
-    # before device completion through the TPU tunnel (utils/timing.py),
-    # and the loss value depends on the whole step chain.
-    final_loss = float(total_loss)
+    # before device completion through the TPU tunnel (utils/timing.py).
+    # The fetched scalar folds in a param leaf so it depends on the FINAL
+    # step's backward + optimizer update too (the loss alone only forces
+    # that step's forward — review finding).
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    final_loss = float(
+        total_loss + 0.0 * jnp.sum(leaf.astype(jnp.float32))
+    )
     epoch_time = time.perf_counter() - t0
     return state, {
         "loss": final_loss / max(1, total_seen),
@@ -323,26 +328,37 @@ def benchmark_inference(
         out = fwd(variables, images)
     float(jnp.sum(out))
 
-    # Per-iteration VALUE fetch: the synchronized-latency protocol includes
-    # the host round trip by definition (the reference's cuda.synchronize
-    # does too), and block_until_ready is not a reliable barrier through
-    # the TPU tunnel (utils/timing.py).
+    # Per-iteration VALUE fetch (block_until_ready is not a reliable
+    # barrier through the TPU tunnel, utils/timing.py) — but the fetch's
+    # own ~25 ms round trip would otherwise dominate a few-ms model, so it
+    # is measured on an already-materialised scalar and subtracted from
+    # every sample (reported as fetch_rt_ms for transparency).
+    ready = jnp.zeros(())
+    float(ready)
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(ready))
+        rts.append(time.perf_counter() - t0)
+    rt = sorted(rts)[len(rts) // 2]
+
     latencies = []
     for _ in range(num_iterations):
         t0 = time.perf_counter()
         out = fwd(variables, images)
         float(jnp.sum(out))
-        latencies.append(time.perf_counter() - t0)
+        latencies.append(max(0.0, time.perf_counter() - t0 - rt))
 
     lat = jnp.asarray(latencies)
     batch = images.shape[0]
-    total = float(jnp.sum(lat))
+    total = max(float(jnp.sum(lat)), 1e-9)
     from ..utils.timing import device_memory_stats
 
     mem = device_memory_stats()
     return {
         **({"peak_memory_bytes": mem["peak_bytes_in_use"]}
            if mem.get("peak_bytes_in_use") is not None else {}),
+        "fetch_rt_ms": rt * 1e3,
         "throughput_images_per_sec": batch * num_iterations / total,
         "latency_mean_ms": float(jnp.mean(lat)) * 1e3,
         "latency_std_ms": float(jnp.std(lat)) * 1e3,

@@ -177,3 +177,48 @@ def test_flash_long_sequence_multi_tile(rng):
     want = softmax_attention(q, k, v, 0.25)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("bq,bkv", [(192, 128), (128, 192)])
+def test_flash_unequal_block_sizes(rng, bq, bkv):
+    """Unequal block sizes must not truncate tiling (review finding: padding
+    to max(block_q, block_kv) skipped part of the sequence when the smaller
+    block's tile count didn't cover it)."""
+    B, H, N, D = 1, 2, 190, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    scale = D ** -0.5
+    got = flash_softmax_attention(q, k, v, scale, bq, bkv, True)
+    want = softmax_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+    gp = jax.grad(lambda q, k, v: jnp.sum(
+        flash_softmax_attention(q, k, v, scale, bq, bkv, True) ** 2
+    ), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        softmax_attention(q, k, v, scale) ** 2
+    ), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_kerple_auto_respects_memory_budget():
+    """'auto' must route training-scale batches to the FFT path before the
+    dense [B,H,N,N] temporaries exceed the memory budget (review finding:
+    an N-only threshold OOMs at B=256, N=1024)."""
+    from efficient_rpe_vit_tpu.ops import attention_core as ac
+
+    small = jnp.zeros((8, 2, 512, 4))
+    big = jnp.zeros((256, 2, 1024, 4))
+    # peek at the dispatch by checking the byte guard directly
+    def chosen(x):
+        b, h, n = x.shape[0], x.shape[1], x.shape[2]
+        dense_bytes = 5 * b * h * n * n * 4
+        return ("dense" if n < ac.KERPLE_DENSE_CROSSOVER_N
+                and dense_bytes <= ac.KERPLE_DENSE_MEMORY_BUDGET else "fft")
+    assert chosen(small) == "dense"
+    assert chosen(big) == "fft"
