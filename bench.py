@@ -122,7 +122,12 @@ def main():
     try:
         key, sub = jax.random.split(key)
         lowered = train_step.lower(state, images, labels, sub)
-        flops = float(lowered.cost_analysis()["flops"])
+        ca = lowered.cost_analysis()
+        if not ca or "flops" not in ca:
+            # some backends (the axon plugin) only provide cost analysis on
+            # the compiled executable; pay the AOT compile there
+            ca = lowered.compile().cost_analysis()
+        flops = float(ca["flops"])
         result["flops_per_step"] = flops
         result["mfu"] = round(
             flops * TIMED_STEPS / elapsed / PEAK_FLOPS_BF16, 5
