@@ -15,7 +15,12 @@ from .training import (
     evaluate,
     benchmark_inference,
 )
-from .checkpoint import save_checkpoint, load_checkpoint
+from .checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+    save_checkpoint_orbax,
+    load_checkpoint_orbax,
+)
 from .benchmark_utils import (
     compute_convergence_metrics,
     compute_aggregated_statistics,
@@ -42,6 +47,8 @@ __all__ = [
     "benchmark_inference",
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_orbax",
+    "load_checkpoint_orbax",
     "compute_convergence_metrics",
     "compute_aggregated_statistics",
     "save_run_metrics",

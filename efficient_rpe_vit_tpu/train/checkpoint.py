@@ -76,3 +76,78 @@ def load_checkpoint(path: str, state) -> Tuple[Any, Dict[str, Any]]:
         with open(meta_path) as f:
             meta = json.load(f)
     return new_state, meta
+
+
+# ─── Orbax backend (TPU-ecosystem standard) ──────────────────────────────
+# The msgpack path above is a single portable file, but it gathers every
+# array to the host process — fine single-chip, wrong for sharded
+# multi-chip states. Orbax writes each array with its sharding layout
+# (and can restore distributed without gathering), which is the TPU-native
+# checkpointing story (SURVEY.md §5.4). Same epoch/metrics/metadata
+# semantics as the msgpack pair; directories instead of single files.
+
+def save_checkpoint_orbax(
+    path: str,
+    state,
+    epoch: int,
+    metrics: Optional[Dict[str, Any]] = None,
+    metadata: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write an Orbax checkpoint directory at `path` (+ meta.json inside)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "constants": state.constants if state.constants is not None else {},
+        "mutable_state": (state.mutable_state
+                          if state.mutable_state is not None else {}),
+    }
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        ckptr.save(path, payload, force=True)
+    meta = {
+        "epoch": int(epoch),
+        "metrics": metrics or {},
+        "metadata": metadata or {},
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=float)
+    return path
+
+
+def load_checkpoint_orbax(path: str, state) -> Tuple[Any, Dict[str, Any]]:
+    """Restore an Orbax checkpoint directory into a template TrainState.
+
+    Sharded template leaves restore with their shardings (no host gather).
+    Returns (state, meta dict); resume at meta['epoch'] + 1.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "constants": state.constants if state.constants is not None else {},
+        "mutable_state": (state.mutable_state
+                          if state.mutable_state is not None else {}),
+    }
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(path, ocp.args.StandardRestore(template))
+    new_state = state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        constants=(restored["constants"]
+                   if state.constants is not None else None),
+        mutable_state=(restored["mutable_state"]
+                       if state.mutable_state is not None else None),
+    )
+    meta_path = os.path.join(path, "meta.json")
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return new_state, meta

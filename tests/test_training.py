@@ -304,3 +304,81 @@ def test_fetch_barrier_and_chained_time(rng):
     t = chained_time(g, (x,), steps=5, feedback=lambda cur, out: (out,),
                      repeats=2)
     assert t >= 0.0  # RT-subtracted; tiny op can clamp to zero
+
+
+def test_orbax_checkpoint_roundtrip(rng, tmp_path):
+    """Orbax backend round-trips a (sharded) TrainState with metadata."""
+    import numpy as np
+
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.train import create_train_state
+    from efficient_rpe_vit_tpu.train.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    cfg = mnist_config()
+    model = create_model("performer_favor", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint_orbax(path, state, epoch=3,
+                          metrics={"test_accuracy": 88.0},
+                          metadata={"model_name": "performer_favor"})
+
+    fresh = create_train_state(model, cfg, jax.random.PRNGKey(9),
+                               jnp.zeros((2, 28, 28, 1)))
+    restored, meta = load_checkpoint_orbax(path, fresh)
+    assert meta["epoch"] == 3
+    assert meta["metadata"]["model_name"] == "performer_favor"
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # constants (omega) round-trip too
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.constants)[0]),
+        np.asarray(jax.tree_util.tree_leaves(restored.constants)[0]),
+    )
+
+
+def test_orbax_checkpoint_sharded_state(rng, tmp_path):
+    """Orbax restores a mesh-sharded TrainState with shardings intact."""
+    import numpy as np
+
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.parallel import (
+        create_sharded_train_state, make_mesh,
+    )
+    from efficient_rpe_vit_tpu.train.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 simulated devices")
+    cfg = mnist_config()
+    model = create_model("performer_favor", cfg)
+    mesh = make_mesh(n_model=2)
+    state, specs = create_sharded_train_state(
+        model, cfg, rng, jnp.zeros((2, 28, 28, 1)), mesh
+    )
+    path = str(tmp_path / "ckpt_sharded")
+    save_checkpoint_orbax(path, state, epoch=1)
+
+    fresh, _ = create_sharded_train_state(
+        model, cfg, jax.random.PRNGKey(5), jnp.zeros((2, 28, 28, 1)), mesh
+    )
+    restored, meta = load_checkpoint_orbax(path, fresh)
+    assert meta["epoch"] == 1
+    qkv = restored.params["block_0"]["attention"]["qkv"]["kernel"]
+    # sharding preserved from the template (TP column split)
+    assert qkv.sharding.spec == fresh.params[
+        "block_0"]["attention"]["qkv"]["kernel"].sharding.spec
+    np.testing.assert_array_equal(
+        np.asarray(qkv),
+        np.asarray(state.params["block_0"]["attention"]["qkv"]["kernel"]),
+    )
