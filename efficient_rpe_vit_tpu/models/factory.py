@@ -68,6 +68,7 @@ def create_model(
     config: ExperimentConfig | Dict[str, Any],
     attention_config: Optional[Dict[str, Any]] = None,
     rpe_config: Optional[Dict[str, Any]] = None,
+    mlp_config: Optional[Dict[str, Any]] = None,
     **overrides,
 ) -> ViT:
     """Build a ViT module for a named variant.
@@ -77,6 +78,9 @@ def create_model(
         config: ExperimentConfig or the flat dict from `.to_dict()`.
         attention_config / rpe_config: per-call mechanism overrides, merged
             over the config's `attention_params` / `rpe_params` defaults.
+        mlp_config: optional MLP override; {"mlp_type": "moe",
+            "num_experts": E, "expert_mesh": mesh} switches the block MLPs
+            to the soft-mixture-of-experts layer (models/layers.py::MoeMlp).
         **overrides: architecture field overrides (dim, depth, dropout, ...).
 
     Returns:
@@ -120,6 +124,9 @@ def create_model(
             "RPE instead."
         )
 
+    mlp_kwargs = dict(mlp_config or {})
+    mlp_type = mlp_kwargs.pop("mlp_type", "dense")
+
     return ViT(
         image_size=cfg["image_size"],
         in_channels=cfg["in_channels"],
@@ -134,6 +141,8 @@ def create_model(
         rpe_type=rpe_type,
         attention_kwargs=tuple(sorted(attn_kwargs.items())),
         rpe_kwargs=tuple(sorted(rpe_kwargs.items())),
+        mlp_type=mlp_type,
+        mlp_kwargs=tuple(sorted(mlp_kwargs.items())),
         dtype=cfg.get("compute_dtype", "float32"),
     )
 

@@ -54,6 +54,8 @@ class ViT(nn.Module):
     rpe_type: Optional[str] = None
     attention_kwargs: tuple = ()
     rpe_kwargs: tuple = ()
+    mlp_type: str = "dense"
+    mlp_kwargs: tuple = ()
     # compute dtype policy: activations/matmul inputs in this dtype, params
     # and softmax/normaliser statistics in fp32 (bfloat16 feeds the MXU at
     # full rate; accumulation stays fp32 via preferred_element_type)
@@ -114,6 +116,8 @@ class ViT(nn.Module):
                 rpe_type=self.rpe_type,
                 attention_kwargs=self.attention_kwargs,
                 rpe_kwargs=self.rpe_kwargs,
+                mlp_type=self.mlp_type,
+                mlp_kwargs=self.mlp_kwargs,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, deterministic=deterministic,
