@@ -16,8 +16,6 @@ from efficient_rpe_vit_tpu.ops.pallas import (
     fused_masked_linear_attention,
 )
 
-INTERP = dict(interpret=True)
-
 
 @pytest.fixture
 def kerple_inputs(rng):
