@@ -370,3 +370,29 @@ def test_seq_parallel_ops_pad_arbitrary_length(rng):
     want = softmax_attention(q, k, v, D ** -0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_three_axis_dp_tp_cp_train_step(rng):
+    """DP x TP x CP on one 2x2x2 mesh: batch over 'data', Megatron kernel
+    splits over 'model', sequence over 'seq' inside the attention core —
+    one jitted train step, finite loss, params update."""
+    from jax.sharding import Mesh
+
+    cfg = mnist_config(dropout=0.1)
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices).reshape(2, 2, 2),
+                ("data", "model", "seq"))
+    model = create_model(
+        "performer_favor_most_general", cfg,
+        attention_config={"seq_mesh": mesh, "seq_axis": "seq"},
+    )
+    sample = jnp.zeros((2, 28, 28, 1))
+    state, specs = create_sharded_train_state(model, cfg, rng, sample, mesh)
+    step = make_parallel_train_step(model, mesh, specs, donate=False)
+    images = jax.random.normal(rng, (8, 28, 28, 1))
+    labels = jnp.arange(8) % 10
+    p0 = state.params["block_0"]["attention"]["qkv"]["kernel"]
+    state, loss, correct = step(state, images, labels, rng)
+    assert jnp.isfinite(loss)
+    p1 = state.params["block_0"]["attention"]["qkv"]["kernel"]
+    assert float(jnp.abs(jnp.asarray(p1) - jnp.asarray(p0)).max()) > 0
