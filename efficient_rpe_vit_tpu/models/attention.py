@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
@@ -114,7 +115,15 @@ class SoftmaxAttention(nn.Module):
                 q, k, v, self.head_dim ** -0.5, self.seq_mesh, self.seq_axis
             )
         else:
-            attn_drop = nn.Dropout(self.dropout, deterministic=deterministic)
+            # dropout_fn=None when no dropout actually applies (eval or
+            # dropout=0): a live dropout_fn pins the dense path, and only
+            # the dropout-free core is eligible for the memory-aware flash
+            # dispatch (ops/attention_core.py::softmax_needs_flash).
+            attn_drop = (
+                nn.Dropout(self.dropout, deterministic=deterministic)
+                if self.dropout > 0 and not deterministic
+                else None
+            )
             out = softmax_attention(
                 q, k, v, self.head_dim ** -0.5, mask=mask,
                 return_attention=return_attention,
@@ -208,9 +217,16 @@ class _KernelAttention(nn.Module):
             counter = self.variable(
                 "state", "redraw_counter", lambda: jnp.zeros((), jnp.int32)
             )
-            fresh = self._draw_omega(self.make_rng("features"))
             do_redraw = (counter.value % self.feature_redraw_interval) == 0
-            omega_var.value = jnp.where(do_redraw, fresh, omega_var.value)
+            # lax.cond, not jnp.where: the blockwise QR in _draw_omega must
+            # only execute on the interval steps — a where would run it (and
+            # materialise both omegas) every training step.
+            omega_var.value = jax.lax.cond(
+                do_redraw,
+                self._draw_omega,
+                lambda _key: omega_var.value,
+                self.make_rng("features"),
+            )
             counter.value = counter.value + 1
         elif self.feature_redraw_interval is not None and self.is_initializing():
             self.variable(

@@ -26,20 +26,36 @@ def _state_specs(state: TrainState, mesh: Mesh):
     """PartitionSpec tree matching a TrainState."""
     param_specs = make_param_specs(state.params, mesh)
 
-    # optax states are pytrees containing param-shaped moments; map any leaf
-    # that exactly matches a param shape to that param's spec, else replicate.
-    param_leaves = jax.tree_util.tree_leaves_with_path(state.params)
-    shape_to_spec = {}
-    spec_leaves = jax.tree_util.tree_leaves(param_specs)
-    for (path, leaf), spec in zip(param_leaves, spec_leaves):
-        shape_to_spec.setdefault(leaf.shape, spec)
+    # optax moments mirror the params TREE (adam mu/nu etc.), so match by
+    # tree structure, not leaf shape: any opt_state subtree whose structure
+    # and leaf shapes equal the params tree gets the params' spec tree
+    # leaf-for-leaf; everything else (counts, scalars, empty states)
+    # replicates. A shape-based heuristic would silently give an optimizer
+    # moment the WRONG spec whenever two params share a shape but not a
+    # spec (e.g. a square dim x dim column- vs row-split kernel pair).
+    params_treedef = jax.tree_util.tree_structure(state.params)
+    param_leaves = jax.tree_util.tree_leaves(state.params)
 
-    def opt_leaf_spec(x):
-        if hasattr(x, "shape") and x.shape in shape_to_spec and x.ndim > 0:
-            return shape_to_spec[x.shape]
-        return P()
+    def is_params_like(node):
+        try:
+            if jax.tree_util.tree_structure(node) != params_treedef:
+                return False
+        except Exception:
+            return False
+        leaves = jax.tree_util.tree_leaves(node)
+        return all(
+            getattr(x, "shape", None) == p.shape
+            for x, p in zip(leaves, param_leaves)
+        )
 
-    opt_specs = jax.tree_util.tree_map(opt_leaf_spec, state.opt_state)
+    def node_spec(node):
+        if is_params_like(node):
+            return param_specs
+        return jax.tree_util.tree_map(lambda _: P(), node)
+
+    opt_specs = jax.tree_util.tree_map(
+        node_spec, state.opt_state, is_leaf=is_params_like
+    )
     # constants (omega buffers) use the same path rules as params, so
     # head-structured buffers split across 'model' like their parameters
     const_specs = (
