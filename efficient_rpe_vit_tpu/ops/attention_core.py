@@ -66,10 +66,25 @@ KERPLE_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 5 temps
 # B=8 H=4 D=64 bf16): XLA wins at every measured N>=512 (fwd 6.7 vs
 # 17.6 ms at N=4096; grad 23.3 vs 48.6 ms) and ties the backward at
 # N=197 where flash takes the forward (0.90 vs 1.66 ms). A fused-forward
-# inference win at N~200 doesn't justify auto-dispatch complexity, so the
-# kernel stays explicit opt-in; its tiled backward keeps the no-[N,N]-in-
-# HBM memory story for callers who want it.
-FLASH_MIN_N = 10**9  # flash kernel: explicit opt-in only
+# inference win at N~200 doesn't justify TIME-based auto-dispatch — but
+# the dispatch must still be MEMORY-aware, mirroring the KERPLE byte
+# guard: the dense path's fwd+bwd holds ~3 live [B,H,N,N] fp32 temps
+# (scores, probabilities, probability-cotangent), and past the HBM budget
+# XLA simply OOMs (measured: B=8 H=8 N=4096 bf16 fails to compile,
+# experiments/scaling_ab.py / README scaling table) while the flash
+# kernel — whose fwd AND tiled bwd keep nothing quadratic in HBM — keeps
+# running. So 'auto' routes to flash exactly where dense CANNOT run, and
+# keeps the faster XLA dense path everywhere it can.
+FLASH_MIN_N = 10**9  # opt-in override (lower to force flash above a given N)
+SOFTMAX_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 3 temps
+
+
+def softmax_needs_flash(b: int, h: int, n: int) -> bool:
+    """True when the dense softmax path's ~3 live [B,H,N,N] fp32
+    temporaries would bust the HBM budget (or N crosses the opt-in
+    FLASH_MIN_N override) — the regime where only the flash kernel runs."""
+    dense_bytes = 3 * b * h * n * n * 4
+    return n >= FLASH_MIN_N or dense_bytes > SOFTMAX_DENSE_MEMORY_BUDGET
 
 
 def _pallas_ok() -> bool:
@@ -95,7 +110,7 @@ def softmax_attention(q, k, v, scale, mask=None, return_attention: bool = False,
         mask is None
         and dropout_fn is None
         and not return_attention
-        and q.shape[2] >= FLASH_MIN_N
+        and softmax_needs_flash(q.shape[0], q.shape[1], q.shape[2])
         and _pallas_ok()
     ):
         from .pallas import flash_softmax_attention
