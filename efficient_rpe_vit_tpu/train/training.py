@@ -302,6 +302,29 @@ def evaluate(
     return out
 
 
+def make_inference_chain(model):
+    """Jitted chain of `length` data-dependent forward passes, ONE program.
+
+    Each iteration's input depends on the previous output through a
+    numerically-inert coupling (images + 1e-30 * sum(logits)): the device
+    cannot overlap iterations, XLA cannot hoist the loop body (the scaled
+    sum is not algebraically foldable), and one host value-fetch at the end
+    barriers the whole chain. This is the only protocol that resolves
+    sub-millisecond models through the ~25 ms tunnel round trip
+    (utils/timing.py; docs/BENCHMARKING.md rule 6)."""
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def chain(variables, images, length: int):
+        def body(_, x):
+            out = model.apply(variables, x, deterministic=True)
+            return images + (1e-30 * jnp.sum(out)).astype(images.dtype)
+
+        x = jax.lax.fori_loop(0, length, body, images)
+        return jnp.sum(x)
+
+    return chain
+
+
 def benchmark_inference(
     state: TrainState,
     model,
@@ -309,15 +332,82 @@ def benchmark_inference(
     num_warmup: int = 10,
     num_iterations: int = 100,
     fwd=None,
+    mode: str = "chained",
+    num_chains: int = 10,
+    chain_fn=None,
 ) -> Dict[str, float]:
-    """Latency/throughput on one fixed batch: warmup then timed synchronized
-    iterations (reference: training.py:210-283; block_until_ready is the TPU
-    synchronize). Pass a prebuilt jitted `fwd(variables, images)` to reuse
-    its compilation across runs."""
+    """Latency/throughput on one fixed batch (reference: training.py:210-283;
+    a host value fetch is the TPU synchronize — block_until_ready is not a
+    reliable barrier through the tunnel, utils/timing.py).
+
+    mode='chained' (default): `num_chains` chains of data-dependent
+    forwards, one value fetch per chain; per-iteration latency is the
+    chain time (minus the fetch round trip, measured separately) divided
+    by the chain length, and latency statistics are over the chain means.
+    The per-iteration protocol ('per_iter', the reference's) cannot
+    resolve a ~1 ms model through a ~25 ms round trip — it clips samples
+    to 0 and reports pure noise (VERDICT r2 weak #1).
+
+    Pass a prebuilt jitted `fwd(variables, images)` / `chain_fn` (from
+    `make_inference_chain`) to reuse compilations across runs."""
     variables = {"params": state.params}
     if state.constants is not None:
         variables["constants"] = state.constants
+    batch = images.shape[0]
 
+    # fetch-barrier round trip, measured on an already-materialised scalar
+    def measure_rt():
+        ready = jnp.zeros(())
+        float(ready)
+        rts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jnp.sum(ready))
+            rts.append(time.perf_counter() - t0)
+        return sorted(rts)[len(rts) // 2]
+
+    from ..utils.timing import device_memory_stats
+
+    if mode == "chained":
+        if chain_fn is None:
+            chain_fn = make_inference_chain(model)
+        chain_len = max(1, num_iterations // num_chains)
+        # compile + warm the steady state
+        float(chain_fn(variables, images, chain_len))
+        float(chain_fn(variables, images, chain_len))
+        rt = measure_rt()
+        samples = []
+        for _ in range(num_chains):
+            t0 = time.perf_counter()
+            total = chain_fn(variables, images, chain_len)
+            float(total)
+            samples.append(
+                max(0.0, time.perf_counter() - t0 - rt) / chain_len
+            )
+        lat = jnp.asarray(samples)
+        n_eff = num_chains * chain_len
+        mem = device_memory_stats()
+        mean = float(jnp.mean(lat))
+        return {
+            **({"peak_memory_bytes": mem["peak_bytes_in_use"]}
+               if mem.get("peak_bytes_in_use") is not None else {}),
+            "mode": "chained",
+            "chain_length": chain_len,
+            "num_chains": num_chains,
+            "fetch_rt_ms": rt * 1e3,
+            "throughput_images_per_sec": batch / max(mean, 1e-9),
+            "latency_mean_ms": mean * 1e3,
+            "latency_std_ms": float(jnp.std(lat)) * 1e3,
+            "latency_min_ms": float(jnp.min(lat)) * 1e3,
+            "latency_max_ms": float(jnp.max(lat)) * 1e3,
+            "latency_p50_ms": float(jnp.percentile(lat, 50)) * 1e3,
+            "latency_ms_per_sample": mean * 1e3 / batch,
+            "batch_size": batch,
+            "num_iterations": n_eff,
+        }
+
+    # ── legacy per-iteration protocol (reference-faithful; noisy through
+    # the tunnel for sub-rt models — kept as an explicit opt-in) ──────────
     if fwd is None:
         @jax.jit
         def fwd(v, x):
@@ -327,20 +417,7 @@ def benchmark_inference(
     for _ in range(max(0, num_warmup - 1)):
         out = fwd(variables, images)
     float(jnp.sum(out))
-
-    # Per-iteration VALUE fetch (block_until_ready is not a reliable
-    # barrier through the TPU tunnel, utils/timing.py) — but the fetch's
-    # own ~25 ms round trip would otherwise dominate a few-ms model, so it
-    # is measured on an already-materialised scalar and subtracted from
-    # every sample (reported as fetch_rt_ms for transparency).
-    ready = jnp.zeros(())
-    float(ready)
-    rts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(jnp.sum(ready))
-        rts.append(time.perf_counter() - t0)
-    rt = sorted(rts)[len(rts) // 2]
+    rt = measure_rt()
 
     latencies = []
     for _ in range(num_iterations):
@@ -350,14 +427,12 @@ def benchmark_inference(
         latencies.append(max(0.0, time.perf_counter() - t0 - rt))
 
     lat = jnp.asarray(latencies)
-    batch = images.shape[0]
     total = max(float(jnp.sum(lat)), 1e-9)
-    from ..utils.timing import device_memory_stats
-
     mem = device_memory_stats()
     return {
         **({"peak_memory_bytes": mem["peak_bytes_in_use"]}
            if mem.get("peak_bytes_in_use") is not None else {}),
+        "mode": "per_iter",
         "fetch_rt_ms": rt * 1e3,
         "throughput_images_per_sec": batch * num_iterations / total,
         "latency_mean_ms": float(jnp.mean(lat)) * 1e3,
