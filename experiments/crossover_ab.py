@@ -98,20 +98,29 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--sizes", nargs="+", type=int,
                     default=[197, 256, 512, 1024, 2048, 4096])
+    # shape flags: the r2 tables were measured at the MNIST dims (B=8 H=2
+    # F=44 D=16); VERDICT r3 #1 requires re-validating every dispatch
+    # constant at ViT-Base dims (H=12, D=64, F=round(64 ln 64)=266)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--heads", type=int, default=2)
+    ap.add_argument("--features", type=int, default=44)
+    ap.add_argument("--head-dim", type=int, default=16)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    B, H, F, D = args.batch, args.heads, args.features, args.head_dim
     backend = jax.default_backend()
     lines = [
         f"\n### KERPLE dense vs FFT crossover ({backend}, chained A/B, "
-        f"{args.steps} steps, median of 3)\n",
+        f"{args.steps} steps, median of 3, B={B} H={H} F={F} D={D})\n",
         "| N | fwd dense (ms) | fwd fft (ms) | grad dense (ms) | "
         "grad fft (ms) | fwd winner | grad winner |",
         "|---|---|---|---|---|---|---|",
     ]
     for N in args.sizes:
-        fwd = bench_kerple(N, args.steps)
-        bwd = bench_kerple(N, max(10, args.steps // 2), grad=True)
+        fwd = bench_kerple(N, args.steps, B=B, H=H, F=F, D=D)
+        bwd = bench_kerple(N, max(10, args.steps // 2), B=B, H=H, F=F,
+                           D=D, grad=True)
         fw = "dense" if fwd["dense"] <= fwd["fft"] else "fft"
         gw = "dense" if bwd["dense"] <= bwd["fft"] else "fft"
         lines.append(
@@ -121,12 +130,12 @@ def main():
         print(lines[-1], flush=True)
 
     lines += [
-        "\n### Raw toeplitz_matmul dense vs FFT ([8,2,N,44] bf16)\n",
+        f"\n### Raw toeplitz_matmul dense vs FFT ([{B},{H},N,{F}] bf16)\n",
         "| N | dense (ms) | fft (ms) | winner |",
         "|---|---|---|---|",
     ]
     for N in args.sizes:
-        r = bench_toeplitz(N, args.steps)
+        r = bench_toeplitz(N, args.steps, H=H, B=B, F=F)
         w = "dense" if r["dense"] <= r["fft"] else "fft"
         lines.append(f"| {N} | {r['dense']*1e3:.2f} | {r['fft']*1e3:.2f} |"
                      f" {w} |")

@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""ViT-Base-scale training benchmark with an MFU target (VERDICT r2 #1).
+
+The round-2 headline (dim 32, head_dim 16) defends 3.2% MFU with a roofline
+argument — the MXU idles at those shapes. This benchmark measures the full
+jitted train step (fwd + bwd + adam) at the dims the reference's own
+Circulant suite uses (dim 768, 12 heads, head_dim 64 —
+/root/reference/test_circulant_string.py:30-43), bfloat16, at N in
+{197, 1025, 4097} (196 / 32x32 / 64x64 patch grids + CLS), for:
+
+  * baseline              — softmax attention (memory-aware auto dispatch:
+                            dense below the HBM byte budget, flash Pallas
+                            kernel above it, ops/attention_core.py),
+  * performer_favor       — FAVOR+ O(N) linear attention (F = 266),
+  * performer_favor_most_general — KERPLE (dense masked-matmul vs streamed
+                            FFT, memory-bounded auto dispatch).
+
+Protocol: chained train steps (state feeds forward), one value-fetch
+barrier around the timed chain (docs/BENCHMARKING.md rule 6 — the only
+trustworthy protocol on the tunneled TPU). MFU = XLA-cost-analysis FLOPs x
+steps / elapsed / chip peak (197 TFLOP/s bf16 on v5e).
+
+Batch sizes are chosen to fit a 16 GB chip at ViT-B activation sizes
+(no rematerialisation in the step): 64 @ N=197, 16 @ N=1025, 4 @ N=4097.
+At N=4097 the softmax dense path's [B,H,N,N] temps would need ~19 GB, so
+'auto' rides the flash kernel — the regime where dense simply OOMs.
+
+Usage:  python experiments/vitbase_bench.py [--steps-scale 1.0] [--out F]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+PEAK_FLOPS_BF16 = 197e12  # TPU v5e public spec
+
+# (label, image_size, patch_size, N, batch, timed_steps)
+SHAPES = [
+    ("N=197", 28, 2, 197, 64, 20),
+    ("N=1025", 64, 2, 1025, 16, 10),
+    ("N=4097", 128, 2, 4097, 4, 5),
+]
+
+VARIANTS = ["baseline", "performer_favor", "performer_favor_most_general"]
+
+
+def bench_one(variant: str, image: int, patch: int, batch: int,
+              steps: int, warmup: int = 3):
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.train import create_train_state, make_train_step
+
+    # dropout 0: attention-probability dropout would pin softmax to the
+    # dense path (no flash with dropout), and removing it makes the three
+    # mechanisms' steps directly comparable
+    cfg = mnist_config(
+        image_size=image, patch_size=patch, batch_size=batch,
+        dim=768, depth=12, heads=12, mlp_dim=3072, dropout=0.0,
+        compute_dtype="bfloat16",
+    )
+    model = create_model(variant, cfg)
+    rng = jax.random.PRNGKey(0)
+    m = cfg.model
+    sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
+    state = create_train_state(model, cfg, rng, sample, steps_per_epoch=100)
+    train_step = make_train_step(model, donate=True)
+
+    images = jax.random.normal(
+        rng, (batch, m.image_size, m.image_size, m.in_channels)
+    )
+    labels = jnp.arange(batch) % m.num_classes
+
+    def chain_barrier(state, loss):
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        return float(loss + 0.0 * jnp.sum(leaf.astype(jnp.float32)))
+
+    key = rng
+    # FLOPs from the lowered HLO before the timed region (no extra compile
+    # when the backend provides lowered cost analysis)
+    flops = None
+    try:
+        key, sub = jax.random.split(key)
+        lowered = train_step.lower(state, images, labels, sub)
+        ca = lowered.cost_analysis()
+        if not ca or "flops" not in ca:
+            ca = lowered.compile().cost_analysis()
+        flops = float(ca["flops"])
+    except Exception as e:  # pragma: no cover - backend dependent
+        print(f"  [warn] cost analysis unavailable: {e}")
+
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        state, loss, _ = train_step(state, images, labels, sub)
+    chain_barrier(state, loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        state, loss, _ = train_step(state, images, labels, sub)
+    chain_barrier(state, loss)
+    elapsed = time.perf_counter() - t0
+
+    out = {
+        "variant": variant,
+        "batch": batch,
+        "timed_steps": steps,
+        "step_ms": elapsed / steps * 1e3,
+        "images_per_sec": batch * steps / elapsed,
+    }
+    if flops is not None:
+        out["flops_per_step"] = flops
+        out["mfu"] = flops * steps / elapsed / PEAK_FLOPS_BF16
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps-scale", type=float, default=1.0)
+    ap.add_argument("--out", default="results/vitbase_bench_r3.json")
+    ap.add_argument("--variants", nargs="+", default=VARIANTS)
+    ap.add_argument("--shapes", nargs="+", default=None,
+                    help="subset of shape labels, e.g. N=197 N=1025")
+    args = ap.parse_args()
+
+    backend = jax.default_backend()
+    print(f"backend={backend}  ViT-B dims: 768/12h/D64, mlp 3072, "
+          f"depth 12, bf16, full train step (fwd+bwd+adam)")
+    rows = []
+    for label, image, patch, N, batch, steps in SHAPES:
+        if args.shapes and label not in args.shapes:
+            continue
+        steps = max(3, int(steps * args.steps_scale))
+        for variant in args.variants:
+            try:
+                r = bench_one(variant, image, patch, batch, steps)
+            except Exception as e:
+                print(f"{label} {variant}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}")
+                rows.append({"shape": label, "N": N, "variant": variant,
+                             "error": f"{type(e).__name__}: {str(e)[:300]}"})
+                continue
+            r.update({"shape": label, "N": N})
+            rows.append(r)
+            mfu = f"{r['mfu']*100:.1f}%" if "mfu" in r else "n/a"
+            print(f"{label} {variant}: {r['images_per_sec']:.1f} img/s  "
+                  f"{r['step_ms']:.1f} ms/step (B={r['batch']})  MFU {mfu}",
+                  flush=True)
+
+    result = {"backend": backend, "dims": {"dim": 768, "heads": 12,
+              "head_dim": 64, "mlp_dim": 3072, "depth": 12,
+              "dtype": "bfloat16"}, "rows": rows}
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
