@@ -44,6 +44,7 @@ def parse_args(argv=None):
     p.add_argument("--mlp-type", type=str, default=None,
                    choices=["dense", "moe"])
     p.add_argument("--num-experts", type=int, default=None)
+    p.add_argument("--augmentation", action="store_true", default=None)
     p.add_argument("--output-dir", type=str, default=None,
                    help="default results/benchmark_{dataset}_{timestamp}")
     p.add_argument("--skip-existing", action="store_true",
@@ -90,6 +91,8 @@ def run_single_training(model: str, seed: int, run_dir: str, args,
         cli += ["--mlp-type", args.mlp_type]
     if args.num_experts is not None:
         cli += ["--num-experts", str(args.num_experts)]
+    if args.augmentation:
+        cli += ["--augmentation"]
 
     if args.subprocess:
         script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
