@@ -144,6 +144,7 @@ def create_model(
         mlp_type=mlp_type,
         mlp_kwargs=tuple(sorted(mlp_kwargs.items())),
         dtype=cfg.get("compute_dtype", "float32"),
+        remat=cfg.get("remat", False),
     )
 
 

@@ -60,6 +60,12 @@ class ViT(nn.Module):
     # and softmax/normaliser statistics in fp32 (bfloat16 feeds the MXU at
     # full rate; accumulation stays fp32 via preferred_element_type)
     dtype: str = "float32"
+    # activation checkpointing: rematerialise each block's activations in
+    # the backward instead of keeping them live through the whole forward
+    # — peak HBM drops from O(depth) to O(1) block activations at ~1/3
+    # extra FLOPs (jax.checkpoint; the standard long-N / large-model
+    # memory lever on TPU). No effect on numerics.
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -104,9 +110,15 @@ class ViT(nn.Module):
         )
         x = x + pos.astype(dtype)
 
+        block_cls = TransformerBlock
+        if self.remat and not return_attention:
+            # deterministic/return_attention are Python bools -> static
+            # (arg 0 is the module instance in linen's remat convention)
+            block_cls = nn.remat(TransformerBlock, static_argnums=(2, 3))
+
         attention_maps = []
         for i in range(self.depth):
-            x = TransformerBlock(
+            x = block_cls(
                 dim=self.dim,
                 heads=self.heads,
                 mlp_dim=self.mlp_dim,
@@ -120,8 +132,8 @@ class ViT(nn.Module):
                 mlp_kwargs=self.mlp_kwargs,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, deterministic=deterministic,
-              return_attention=return_attention)
+            )(x, deterministic, return_attention)  # positional: remat's
+            # static_argnums indexes positional call args
             if return_attention:
                 x, weights = x
                 attention_maps.append(weights)

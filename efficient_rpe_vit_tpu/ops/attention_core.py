@@ -269,11 +269,30 @@ def _kerple_dense(q_prime, k_prime, v, coeffs):
     return _kerple_dense_core(q_prime, k_prime, v, T)
 
 
+# Per-block byte cap for the FFT path's streamed [B,H,N,F*fft_block]
+# intermediate. The FFT doubles it (complex) and pads N to 2^k, so 1 GiB
+# here is ~4-6 GiB live in the FFT — small enough to compile at ViT-Base
+# long-N shapes (B=4 H=12 N=4097 F=266 failed to compile at the old fixed
+# fft_block=16, ~3.3 GiB per block pre-FFT).
+KERPLE_FFT_BLOCK_BUDGET = 1 * 1024**3
+
+
 def _kerple_fft(q_prime, k_prime, v, coeffs, fft_block: int):
     """O(N log N) path. D2 in one FFT; D1 streamed over head_dim blocks via
-    lax.scan so peak extra memory is [B, H, N, F, fft_block]."""
+    lax.scan so peak extra memory is [B, H, N, F, fft_block]. The block
+    size adapts downward so the streamed intermediate stays under
+    KERPLE_FFT_BLOCK_BUDGET."""
     B, H, N, F = q_prime.shape
     D = v.shape[-1]
+
+    bytes_per_lane = B * H * N * F * 4
+    max_block = max(1, int(KERPLE_FFT_BLOCK_BUDGET // max(1, bytes_per_lane)))
+    if fft_block > max_block:
+        # largest divisor of D not exceeding max_block keeps the reshape
+        # exact (D % fft_block == 0 below falls back to D otherwise)
+        fft_block = max(
+            (d for d in range(1, max_block + 1) if D % d == 0), default=1
+        )
 
     # Denominator: D2 = T @ phi(K) -> [B, H, N, F]
     D2 = toeplitz_matmul_fft(coeffs, k_prime)

@@ -28,9 +28,15 @@ import jax.numpy as jnp
 # Below ~128 the dense work is a couple of MXU tiles and FFT setup
 # dominates; above ~512 the FFT's complex VPU passes lose to the MXU's
 # raw matmul rate. 'auto' therefore uses FFT for FFT_MIN_N <= n <
-# FFT_MAX_N and dense elsewhere.
+# FFT_MAX_N and dense elsewhere — but only for SMALL trailing dims:
+# re-measured at ViT-Base dims ([2,12,N,266] bf16, D=64, round 3), dense
+# wins at every N including the window (N=197: 1.22 vs 1.80 ms), because
+# the per-lane FFT twiddle work scales with d while the MXU eats the
+# added columns for free. FFT_MAX_D gates the window to the regime where
+# it was actually measured to win.
 FFT_MIN_N = 128
 FFT_MAX_N = 512
+FFT_MAX_D = 128  # FFT window applies only when x's last dim is below this
 # Back-compat alias (old single-sided rule's name; tests/docs reference it)
 DENSE_CROSSOVER_N = FFT_MIN_N
 
@@ -127,7 +133,11 @@ def toeplitz_matmul(c, x, method: str = "auto"):
             f"coefficient length {c.shape[-1]} != 2n-1={2 * n - 1} for n={n}"
         )
     if method == "auto":
-        method = "fft" if FFT_MIN_N <= n < FFT_MAX_N else "dense"
+        method = (
+            "fft"
+            if FFT_MIN_N <= n < FFT_MAX_N and x.shape[-1] < FFT_MAX_D
+            else "dense"
+        )
     if method == "dense":
         y = toeplitz_matmul_dense(c, x)
     elif method == "fft":

@@ -388,7 +388,12 @@ def benchmark_inference(
         n_eff = num_chains * chain_len
         mem = device_memory_stats()
         mean = float(jnp.mean(lat))
+        clipped = sum(1 for s in samples if s == 0.0)
         return {
+            # chains whose elapsed fell below the measured fetch RT clip to
+            # 0 — a nonzero count means the chain is too short for this
+            # round trip (or the host was starved) and the stats are suspect
+            **({"clipped_chains": clipped} if clipped else {}),
             **({"peak_memory_bytes": mem["peak_bytes_in_use"]}
                if mem.get("peak_bytes_in_use") is not None else {}),
             "mode": "chained",

@@ -327,3 +327,33 @@ def test_vit_attention_maps(rng):
     v2 = m2.init({"params": rng}, x, deterministic=True)
     with pytest.raises(NotImplementedError):
         m2.apply(v2, x, deterministic=True, return_attention=True)
+
+
+def test_remat_matches_plain(rng):
+    """Activation checkpointing (ViT.remat) changes memory, not numerics:
+    identical logits AND parameter gradients on shared weights."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor_most_general", cfg)
+    model_r = create_model("performer_favor_most_general", cfg, remat=True)
+    x = jax.random.normal(rng, (4, 28, 28, 1))
+    variables = model.init({"params": rng}, x, deterministic=True)
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    out = jax.jit(lambda v, x: model.apply(v, x, deterministic=True))(
+        variables, x)
+    out_r = jax.jit(lambda v, x: model_r.apply(v, x, deterministic=True))(
+        variables, x)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(m):
+        return jax.jit(jax.grad(lambda p: jnp.sum(
+            m.apply({**consts, "params": p}, x, deterministic=True) ** 2)))
+
+    g = loss(model)(variables["params"])
+    g_r = loss(model_r)(variables["params"])
+    # recompute-in-backward reassociates float sums: grads agree to ~1e-4
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g),
+                            jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(path))
