@@ -15,6 +15,7 @@ block_until_ready is not reliable through the TPU tunnel, utils/timing.py).
 from __future__ import annotations
 
 import functools
+import math
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -311,10 +312,15 @@ def make_inference_chain(model):
     sum is not algebraically foldable), and one host value-fetch at the end
     barriers the whole chain. This is the only protocol that resolves
     sub-millisecond models through the ~25 ms tunnel round trip
-    (utils/timing.py; docs/BENCHMARKING.md rule 6)."""
+    (utils/timing.py; docs/BENCHMARKING.md rule 6).
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def chain(variables, images, length: int):
+    `length` is a TRACED argument (the fori_loop lowers to a dynamic
+    while loop), so one compilation serves every chain length — the
+    calibration loop in `benchmark_inference` can grow the chain without
+    paying a tunnel recompile per candidate length."""
+
+    @jax.jit
+    def chain(variables, images, length):
         def body(_, x):
             out = model.apply(variables, x, deterministic=True)
             return images + (1e-30 * jnp.sum(out)).astype(images.dtype)
@@ -335,6 +341,7 @@ def benchmark_inference(
     mode: str = "chained",
     num_chains: int = 10,
     chain_fn=None,
+    target_chain_time: float = None,
 ) -> Dict[str, float]:
     """Latency/throughput on one fixed batch (reference: training.py:210-283;
     a host value fetch is the TPU synchronize — block_until_ready is not a
@@ -347,6 +354,16 @@ def benchmark_inference(
     The per-iteration protocol ('per_iter', the reference's) cannot
     resolve a ~1 ms model through a ~25 ms round trip — it clips samples
     to 0 and reports pure noise (VERDICT r2 weak #1).
+
+    The chain length is CALIBRATED, not fixed: starting from
+    `num_iterations // num_chains`, the chain grows until its wall time
+    exceeds the fetch round trip by `target_chain_time` seconds (default
+    max(8 x RT, 50 ms)), so per-iteration resolution is set by RT jitter
+    divided by a large chain length rather than by RT itself. A fixed
+    10-iteration chain of a ~0.1 ms model is ~1 ms of compute inside a
+    ~27 ms round trip — statistically invisible; calibration is what
+    makes sub-RT models measurable at all. Pass `target_chain_time=0`
+    to pin the chain at its base length (fast, for tests).
 
     Pass a prebuilt jitted `fwd(variables, images)` / `chain_fn` (from
     `make_inference_chain`) to reuse compilations across runs."""
@@ -372,10 +389,33 @@ def benchmark_inference(
         if chain_fn is None:
             chain_fn = make_inference_chain(model)
         chain_len = max(1, num_iterations // num_chains)
-        # compile + warm the steady state
+        # compile + warm the steady state (one compile serves every
+        # length — the chain's loop bound is traced, not static)
         float(chain_fn(variables, images, chain_len))
         float(chain_fn(variables, images, chain_len))
         rt = measure_rt()
+        # ── calibrate the chain length ────────────────────────────────
+        # Grow the chain until its compute dominates the fetch RT; only
+        # then does (elapsed - rt) / chain_len resolve the per-iteration
+        # time. probe-elapsed < 1.5 RT carries no usable signal → grow
+        # geometrically; otherwise extrapolate straight to the target.
+        if target_chain_time is None:
+            target_chain_time = max(8.0 * rt, 0.05)
+        max_chain_len = 65536
+        if target_chain_time > 0:
+            for _ in range(12):
+                t0 = time.perf_counter()
+                float(chain_fn(variables, images, chain_len))
+                probe = time.perf_counter() - t0
+                excess = probe - rt
+                if excess >= target_chain_time or chain_len >= max_chain_len:
+                    break
+                if excess < 0.5 * rt:
+                    chain_len = min(max_chain_len, chain_len * 4)
+                else:
+                    est = int(math.ceil(
+                        target_chain_time / (excess / chain_len)))
+                    chain_len = min(max_chain_len, max(chain_len + 1, est))
         samples = []
         for _ in range(num_chains):
             t0 = time.perf_counter()
