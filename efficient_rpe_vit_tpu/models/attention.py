@@ -20,7 +20,7 @@ Compatibility contracts preserved:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import flax.linen as nn
 import jax
@@ -36,7 +36,7 @@ from ..ops import (
     phi_relu,
     softmax_attention,
 )
-from ..ops.feature_maps import phi_hyperbolic
+from ..ops.feature_maps import mxu_num_features, phi_hyperbolic
 from .rpe import CirculantStringRPE, KerpleRPE, RoPE, RoPE2D
 
 
@@ -147,7 +147,10 @@ class _KernelAttention(nn.Module):
     dim: int
     heads: int
     dropout: float = 0.0
-    num_features: Optional[int] = None
+    # int, None (paper default floor(d_h ln d_h)), or "mxu" (lane-aligned:
+    # nearest multiple of 128 — identical matmul cost, zero padding waste;
+    # ops/feature_maps.py::mxu_num_features)
+    num_features: Union[int, str, None] = None
     use_orthogonal: bool = True
     feature_redraw_interval: Optional[int] = None
     qkv_bias: bool = False
@@ -167,6 +170,8 @@ class _KernelAttention(nn.Module):
 
     @property
     def m(self) -> int:
+        if self.num_features == "mxu":
+            return mxu_num_features(self.head_dim)
         return (
             self.num_features
             if self.num_features is not None

@@ -8,6 +8,7 @@ from .fft_toeplitz import (
 from .feature_maps import (
     default_num_features,
     gaussian_features,
+    mxu_num_features,
     orthogonal_gaussian_features,
     phi_positive,
     phi_relu,
@@ -33,6 +34,7 @@ __all__ = [
     "naive_toeplitz_matmul",
     "default_num_features",
     "gaussian_features",
+    "mxu_num_features",
     "orthogonal_gaussian_features",
     "phi_positive",
     "phi_relu",

@@ -28,6 +28,19 @@ def default_num_features(head_dim: int) -> int:
     return int(head_dim * math.log(head_dim))
 
 
+def mxu_num_features(head_dim: int) -> int:
+    """Lane-aligned feature count (`num_features='mxu'`).
+
+    The feature axis is the minor-most (lane) dimension of every phi
+    matmul, and the MXU pads it to a multiple of 128. The paper default
+    m = floor(d_h ln d_h) therefore buys NOTHING between lane multiples:
+    at d_h=16, m=44 and m=128 take identical matmul time (the padding is
+    free estimator capacity — take it); at d_h=64, m=266 pads to 384
+    (1.44x wasted lanes) while m=256 is exact. Policy: round the paper
+    default to the nearest multiple of 128, never below 128."""
+    return max(128, 128 * round(default_num_features(head_dim) / 128))
+
+
 def gaussian_features(key, heads: int, head_dim: int, num_features: int):
     """i.i.d. N(0,1) feature matrix, shape [heads, head_dim, num_features]."""
     return jax.random.normal(key, (heads, head_dim, num_features))

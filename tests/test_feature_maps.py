@@ -165,3 +165,44 @@ def test_phi_hyperbolic_variance_reduction(rng):
     assert var_h < 0.75 * var_p, (
         f"phi_hyp variance {var_h:.4g} not < 0.75x phi+ variance {var_p:.4g}"
     )
+
+
+def test_mxu_num_features_policy():
+    """'mxu' rounds the paper default to the nearest 128 lane multiple,
+    never below 128 (feature axis is minor-most in every phi matmul, so
+    the MXU pads it to 128 anyway — padding is free estimator capacity)."""
+    from efficient_rpe_vit_tpu.ops import mxu_num_features
+
+    assert mxu_num_features(16) == 128  # paper 44 -> one full lane tile
+    assert mxu_num_features(64) == 256  # paper 266 pads to 384; 256 exact
+    assert mxu_num_features(32) == 128  # paper 110 -> 128
+    assert mxu_num_features(4) == 128  # floor at one lane tile
+    assert mxu_num_features(128) % 128 == 0
+
+
+def test_mxu_num_features_threads_through_model():
+    """num_features='mxu' reaches _KernelAttention.m and the drawn omega."""
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models.factory import create_model
+
+    model = create_model(
+        "performer_favor",
+        mnist_config(),
+        attention_config={"num_features": "mxu"},
+        dim=32,
+        depth=1,
+        heads=2,
+        mlp_dim=64,
+    )
+    x = jnp.zeros((2, 28, 28, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    omegas = [
+        v
+        for path, v in jax.tree_util.tree_flatten_with_path(variables)[0]
+        if "omega" in jax.tree_util.keystr(path)
+    ]
+    assert omegas, "no omega collection found"
+    # head_dim = 32/2 = 16 -> mxu policy gives 128 features
+    assert all(o.shape[-1] == 128 for o in omegas)
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 10)
