@@ -77,6 +77,12 @@ def parse_args(argv=None):
                    help="activation checkpointing: rematerialise block "
                         "activations in the backward (peak HBM O(1) blocks "
                         "instead of O(depth), ~1/3 extra FLOPs)")
+    p.add_argument("--num-features", type=str, default=None, metavar="M",
+                   help="random-feature count for kernel attention "
+                        "(FAVOR+/ReLU/hyperbolic): an integer, or 'mxu' for "
+                        "the lane-aligned policy (nearest multiple of 128 — "
+                        "same matmul cost as the paper default, zero padding "
+                        "waste; ops/feature_maps.py::mxu_num_features)")
     p.add_argument("--mlp-type", type=str, default=None,
                    choices=["dense", "moe"],
                    help="block MLP: dense (reference) or soft-mixture-of-"
@@ -194,10 +200,22 @@ def main(argv=None, shared=None):
     mlp_config = None
     if args.mlp_type == "moe":
         mlp_config = {"mlp_type": "moe", "num_experts": args.num_experts}
+    if args.num_features is not None:
+        from efficient_rpe_vit_tpu.models.factory import MODEL_VARIANTS
+
+        if MODEL_VARIANTS.get(args.model, ("", None))[0] == "softmax":
+            raise SystemExit(
+                "--num-features only applies to kernel attention variants "
+                "(FAVOR+/ReLU); softmax attention has no random features"
+            )
+        nf = (args.num_features if args.num_features == "mxu"
+              else int(args.num_features))
+        attention_config = {"num_features": nf}
     if args.mesh:
         mesh = _build_mesh(args.mesh)
         if "seq" in mesh.axis_names:
-            attention_config = {"seq_mesh": mesh, "seq_axis": "seq"}
+            attention_config = dict(attention_config or {})
+            attention_config.update({"seq_mesh": mesh, "seq_axis": "seq"})
         if "expert" in mesh.axis_names:
             if mlp_config is None:
                 raise SystemExit(

@@ -276,3 +276,30 @@ def test_benchmark_cli_accepts_custom_variants(tmp_path):
     ])
     assert "favor_hyper" in summary
     assert summary["favor_hyper"]["num_runs"] == 1
+
+
+def test_train_cli_num_features_mxu(tmp_path):
+    """--num-features mxu: the lane-aligned feature-count policy reaches
+    the kernel attention omega through the CLI."""
+    import jax
+
+    from experiments.train import main as train_main
+
+    metrics = train_main([
+        "--model", "performer_favor", "--dataset", "mnist",
+        "--epochs", "1", "--batch-size", "64", "--quiet",
+        "--output-dir", str(tmp_path),
+        "--num-features", "mxu",
+        "--bench-warmup", "1", "--bench-iters", "2",
+    ])
+    assert metrics["aggregate"]["final_test_accuracy"] > 1.0
+
+
+def test_train_cli_num_features_rejects_softmax():
+    from experiments.train import main as train_main
+
+    with pytest.raises(SystemExit, match="kernel attention"):
+        train_main([
+            "--model", "baseline", "--dataset", "mnist",
+            "--epochs", "1", "--quiet", "--num-features", "mxu",
+        ])
