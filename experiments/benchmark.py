@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--mlp-type", type=str, default=None,
                    choices=["dense", "moe"])
     p.add_argument("--num-experts", type=int, default=None)
+    p.add_argument("--num-features", type=str, default=None,
+                   help="kernel-attention feature count: int or 'mxu' "
+                        "(forwarded to train.py)")
     p.add_argument("--augmentation", action="store_true", default=None)
     p.add_argument("--output-dir", type=str, default=None,
                    help="default results/benchmark_{dataset}_{timestamp}")
@@ -91,6 +94,8 @@ def run_single_training(model: str, seed: int, run_dir: str, args,
         cli += ["--mlp-type", args.mlp_type]
     if args.num_experts is not None:
         cli += ["--num-experts", str(args.num_experts)]
+    if args.num_features is not None:
+        cli += ["--num-features", args.num_features]
     if args.augmentation:
         cli += ["--augmentation"]
 
@@ -141,6 +146,7 @@ def main(argv=None):
         "epochs": args.epochs, "batch_size": args.batch_size,
         "compute_dtype": args.compute_dtype,
         "mlp_type": args.mlp_type, "num_experts": args.num_experts,
+        "num_features": args.num_features,
         "timestamp": datetime.now().isoformat(),
     })
     print(f"Benchmark -> {out_dir} (models={args.models}, seeds={seeds})")

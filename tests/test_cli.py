@@ -303,3 +303,17 @@ def test_train_cli_num_features_rejects_softmax():
             "--model", "baseline", "--dataset", "mnist",
             "--epochs", "1", "--quiet", "--num-features", "mxu",
         ])
+
+
+def test_benchmark_cli_forwards_num_features(tmp_path):
+    from experiments.benchmark import main as bench_main
+
+    summary = bench_main([
+        "--models", "performer_favor", "--dataset", "mnist",
+        "--num-runs", "1", "--epochs", "1", "--batch-size", "128",
+        "--num-features", "mxu",
+        "--output-dir", str(tmp_path), "--quiet",
+    ])
+    assert summary["performer_favor"]["test_accuracy"]["mean"] > 1.0
+    cfg = json.load(open(os.path.join(str(tmp_path), "benchmark_config.json")))
+    assert cfg["num_features"] == "mxu"
