@@ -62,20 +62,27 @@ KERPLE_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 5 temps
 # Pallas backward (masked_linear_bwd.py) also lost to the residual-formula
 # backward at every tested shape.
 #
-# Flash softmax kernel: round-2 value-fetch A/B (experiments/flash_ab.py,
-# B=8 H=4 D=64 bf16): XLA wins at every measured N>=512 (fwd 6.7 vs
-# 17.6 ms at N=4096; grad 23.3 vs 48.6 ms) and ties the backward at
-# N=197 where flash takes the forward (0.90 vs 1.66 ms). A fused-forward
-# inference win at N~200 doesn't justify TIME-based auto-dispatch — but
-# the dispatch must still be MEMORY-aware, mirroring the KERPLE byte
+# Flash softmax kernel: the round-2 A/B (fixed 128x128 blocks) had XLA
+# dense winning every N >= 512, so dispatch was memory-only. Round-3 block
+# tuning (experiments/flash_tune.py, flash_default_blocks) reversed that:
+# isolated flash now beats XLA dense at every N >= 1024 in both directions
+# (experiments/flash_ab.py, B=8 H=4 D=64 bf16: fwd 2.65 vs 6.71 ms, grad
+# 8.73 vs 23.15 ms at N=4096). Per the round-2 lesson (kernel wins must
+# survive the model level — the Pallas call is a fusion barrier), the
+# threshold is set from FULL ViT-Base train-step A/Bs, not the isolated
+# kernel: at N=1025 dense still wins (75.2 vs 68.9 img/s) while at N=2026
+# flash wins 1.64x (41.9 vs 25.5 img/s), so the model-level crossover sits
+# between; 1536 splits the bracket. Past that, flash's advantage grows
+# with N (docs/BENCHMARKING.md round-3 tables).
+#
+# The dispatch stays MEMORY-aware as well, mirroring the KERPLE byte
 # guard: the dense path's fwd+bwd holds ~3 live [B,H,N,N] fp32 temps
 # (scores, probabilities, probability-cotangent), and past the HBM budget
 # XLA simply OOMs (measured: B=8 H=8 N=4096 bf16 fails to compile,
 # experiments/scaling_ab.py / README scaling table) while the flash
 # kernel — whose fwd AND tiled bwd keep nothing quadratic in HBM — keeps
-# running. So 'auto' routes to flash exactly where dense CANNOT run, and
-# keeps the faster XLA dense path everywhere it can.
-FLASH_MIN_N = 10**9  # opt-in override (lower to force flash above a given N)
+# running regardless of batch.
+FLASH_MIN_N = 1536  # model-level time crossover (bracketed 1025..2026)
 SOFTMAX_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 3 temps
 
 

@@ -74,6 +74,20 @@ def _pad_len(n: int, block_q: int, block_kv: int) -> int:
     return _round_up(n, lcm)
 
 
+def flash_default_blocks(n: int) -> tuple:
+    """(block_q, block_kv) policy for the flash kernels.
+
+    The original fixed (128, 128) grid makes each cell a tiny matmul whose
+    grid-step overhead dominates at long N (measured ~4% MFU on the whole
+    N=4097 ViT-B step); larger KV blocks amortise the accumulator updates
+    and larger Q blocks amortise K/V reloads. Tuned with
+    experiments/flash_tune.py (see docs/BENCHMARKING.md for the sweep).
+    Clamped to the (padded) sequence so short sequences don't pad up to a
+    giant block."""
+    np128 = _round_up(max(n, 1), LANES)
+    return min(512, np128), min(1024, np128)
+
+
 def _pad_axis(x, axis: int, target: int):
     pad = target - x.shape[axis]
     if pad == 0:
@@ -278,18 +292,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
         )
 
 
-def _flash_fwd_impl(q, k, v, *, scale: float, block_q: int, block_kv: int,
+def _flash_fwd_impl(q, k, v, *, scale: float, block_q, block_kv,
                     interpret: bool):
     B, H, N, D = q.shape
-    Np = _pad_len(N, block_q, block_kv)
+    if block_q is None or block_kv is None:
+        dq_, dkv_ = flash_default_blocks(N)
+        block_q = block_q or dq_
+        block_kv = block_kv or dkv_
+    # Pad the Q and KV axes independently to their own block size — padding
+    # both to the blocks' LCM multiplies the wasted tile area when the
+    # blocks are unequal. Padded KV columns are masked in-kernel; padded Q
+    # rows produce garbage rows that are sliced away below.
+    Nq = _round_up(N, block_q)
+    Nkv = _round_up(N, block_kv)
     Dp = _round_up(D, LANES)
 
-    qp = _pad_axis(_pad_axis(q, 2, Np), 3, Dp)
-    kp = _pad_axis(_pad_axis(k, 2, Np), 3, Dp)
-    vp = _pad_axis(_pad_axis(v, 2, Np), 3, Dp)
+    qp = _pad_axis(_pad_axis(q, 2, Nq), 3, Dp)
+    kp = _pad_axis(_pad_axis(k, 2, Nkv), 3, Dp)
+    vp = _pad_axis(_pad_axis(v, 2, Nkv), 3, Dp)
 
-    n_q_tiles = Np // block_q
-    n_kv_tiles = Np // block_kv
+    n_q_tiles = Nq // block_q
+    n_kv_tiles = Nkv // block_kv
     grid = (B, H, n_q_tiles, n_kv_tiles)
 
     out, lse = pl.pallas_call(
@@ -298,8 +321,8 @@ def _flash_fwd_impl(q, k, v, *, scale: float, block_q: int, block_kv: int,
             block_kv=block_kv, seq_len=N,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
-            jax.ShapeDtypeStruct((B, H, Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Nq, Dp), v.dtype),
+            jax.ShapeDtypeStruct((B, H, Nq, 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -338,12 +361,14 @@ def _flash_reference(q, k, v, scale):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def flash_softmax_attention(q, k, v, scale: float, block_q: int = 128,
-                            block_kv: int = 128, interpret: bool = False):
+def flash_softmax_attention(q, k, v, scale: float, block_q=None,
+                            block_kv=None, interpret: bool = False):
     """softmax(q k^T * scale) v without materialising the scores in HBM.
 
     Args:
         q, k, v: [B, H, N, D].
+        block_q, block_kv: tile sizes (multiples of 128); None picks the
+            measured `flash_default_blocks(N)` policy.
     Returns:
         [B, H, N, D].
     """

@@ -130,7 +130,7 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 # ─── launcher ───────────────────────────────────────────────────────────
 
 def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
-                        block_q: int = 128, block_kv: int = 128,
+                        block_q=None, block_kv=None,
                         interpret: bool = False):
     """Tiled VJP for flash_softmax_attention.
 
@@ -139,33 +139,44 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
         out: [B, H, N, D] forward output.
         lse: [B, H, N] forward row log-sum-exp (fp32).
         g: [B, H, N, D] cotangent.
+        block_q, block_kv: tile sizes; None picks flash_default_blocks(N).
     Returns:
         (dq, dk, dv).
     """
-    from .attention_kernels import LANES, _pad_axis, _pad_len, _round_up
+    from .attention_kernels import (
+        LANES, _pad_axis, _round_up, flash_default_blocks,
+    )
 
     B, H, N, D = q.shape
-    Np = _pad_len(N, block_q, block_kv)
+    if block_q is None or block_kv is None:
+        dq_, dkv_ = flash_default_blocks(N)
+        block_q = block_q or dq_
+        block_kv = block_kv or dkv_
+    # Q and KV axes pad independently to their own block (see the forward).
+    # Padded Q rows carry zero g (hence zero delta/dP/dS) and contribute
+    # nothing to dk/dv; padded KV columns are re-masked in the dq kernel.
+    Nq = _round_up(N, block_q)
+    Nkv = _round_up(N, block_kv)
     Dp = _round_up(D, LANES)
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
-    qp = _pad_axis(_pad_axis(q, 2, Np), 3, Dp)
-    kp = _pad_axis(_pad_axis(k, 2, Np), 3, Dp)
-    vp = _pad_axis(_pad_axis(v, 2, Np), 3, Dp)
-    gp = _pad_axis(_pad_axis(g, 2, Np), 3, Dp)
-    lsep = _pad_axis(lse, 2, Np)[..., None]      # [B, H, Np, 1]
-    deltap = _pad_axis(delta, 2, Np)[..., None]  # [B, H, Np, 1]
+    qp = _pad_axis(_pad_axis(q, 2, Nq), 3, Dp)
+    kp = _pad_axis(_pad_axis(k, 2, Nkv), 3, Dp)
+    vp = _pad_axis(_pad_axis(v, 2, Nkv), 3, Dp)
+    gp = _pad_axis(_pad_axis(g, 2, Nq), 3, Dp)
+    lsep = _pad_axis(lse, 2, Nq)[..., None]      # [B, H, Nq, 1]
+    deltap = _pad_axis(delta, 2, Nq)[..., None]  # [B, H, Nq, 1]
 
-    n_q = Np // block_q
-    n_kv = Np // block_kv
+    n_q = Nq // block_q
+    n_kv = Nkv // block_kv
     scr = (lambda *a: pltpu.VMEM(*a)) if _HAVE_PLTPU else None
 
     # P1: dq — accumulate over KV tiles.
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, scale=scale, n_kv_tiles=n_kv,
                           block_kv=block_kv, seq_len=N),
-        out_shape=jax.ShapeDtypeStruct((B, H, Np, Dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Nq, Dp), q.dtype),
         grid=(B, H, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
@@ -186,8 +197,8 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, scale=scale, n_q_tiles=n_q),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Np, Dp), k.dtype),
-            jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
+            jax.ShapeDtypeStruct((B, H, Nkv, Dp), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Nkv, Dp), v.dtype),
         ),
         grid=(B, H, n_kv, n_q),
         in_specs=[

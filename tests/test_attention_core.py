@@ -207,17 +207,31 @@ def test_kerple_dense_custom_vjp_matches_fft_autodiff(kerple_inputs):
 # ─── memory-aware flash dispatch for softmax (VERDICT r2 weak #5) ─────────
 
 def test_softmax_needs_flash_decision():
-    """Dense stays below the HBM budget; flash takes over exactly where the
-    ~3 live [B,H,N,N] fp32 temps would OOM (B=8 H=8 N=4096 is the measured
-    failure point, experiments/scaling_ab.py)."""
+    """Short sequences stay on the dense path; flash takes over past the
+    model-level time crossover FLASH_MIN_N (bracketed by full-train-step
+    A/Bs: dense wins at N=1025, tuned flash wins 1.64x at N=2026), and in
+    any regime where the ~3 live [B,H,N,N] fp32 temps would OOM
+    (B=8 H=8 N=4096 is the measured failure point,
+    experiments/scaling_ab.py)."""
+    from efficient_rpe_vit_tpu.ops import attention_core
     from efficient_rpe_vit_tpu.ops.attention_core import softmax_needs_flash
 
     assert not softmax_needs_flash(8, 2, 197)     # bench shape: dense
     assert not softmax_needs_flash(256, 2, 197)   # big batch, small N: dense
-    assert not softmax_needs_flash(8, 8, 2048)    # 4.1 GB temps: dense
+    assert not softmax_needs_flash(16, 12, 1025)  # ViT-B: dense still wins
+    assert softmax_needs_flash(8, 12, 2026)       # time crossover: flash
     assert softmax_needs_flash(8, 8, 4096)        # 12.9 GB temps: flash
     assert softmax_needs_flash(1, 8, 16384)       # 25.8 GB temps: flash
     assert softmax_needs_flash(64, 8, 4096)       # bigger batch: still flash
+    # the memory guard fires independently of the time threshold
+    assert 1025 < attention_core.FLASH_MIN_N <= 2026
+    old = attention_core.FLASH_MIN_N
+    try:
+        attention_core.FLASH_MIN_N = 10**9
+        assert softmax_needs_flash(8, 8, 4096)    # byte guard alone: flash
+        assert not softmax_needs_flash(8, 8, 2048)  # 4.1 GB temps: dense
+    finally:
+        attention_core.FLASH_MIN_N = old
 
 
 def test_softmax_auto_flash_matches_dense(rng, monkeypatch):

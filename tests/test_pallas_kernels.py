@@ -204,6 +204,31 @@ def test_flash_unequal_block_sizes(rng, bq, bkv):
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_flash_default_block_policy(rng):
+    """block_q/block_kv=None resolve through flash_default_blocks: clamped
+    to the padded sequence for short N, large tiles for long N, and the
+    resolved kernel still matches the dense oracle."""
+    from efficient_rpe_vit_tpu.ops.pallas.attention_kernels import (
+        flash_default_blocks,
+    )
+
+    assert flash_default_blocks(17) == (128, 128)
+    assert flash_default_blocks(197) == (256, 256)
+    bq, bkv = flash_default_blocks(4097)
+    assert bq >= 512 and bkv >= 512  # grid-overhead regime uses big tiles
+
+    B, H, N, D = 1, 2, 197, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    scale = D ** -0.5
+    got = flash_softmax_attention(q, k, v, scale, None, None, True)
+    want = softmax_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_kerple_auto_respects_memory_budget():
     """'auto' must route training-scale batches to the FFT path before the
     dense [B,H,N,N] temporaries exceed the memory budget (review finding:
