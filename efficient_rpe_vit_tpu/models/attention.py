@@ -39,6 +39,11 @@ from ..ops import (
 from ..ops.feature_maps import mxu_num_features, phi_hyperbolic
 from .rpe import CirculantStringRPE, KerpleRPE, RoPE, RoPE2D
 
+# Checkpoint the phi feature maps once their fp32 autodiff residual
+# (B*H*N*M floats, kept twice per block) crosses this size; fires only at
+# long-N / ViT-B scales, never at the reference's dim-32 shapes.
+PHI_CHECKPOINT_BYTES = 128 * 1024 ** 2
+
 
 def _split_heads(x, heads: int):
     """[B, N, C] -> [B, H, N, C/H]"""
@@ -265,8 +270,20 @@ class _KernelAttention(nn.Module):
         else:
             q, k = q * scale, k * scale
 
-        q_prime = self._phi(q, omega)
-        k_prime = self._phi(k, omega)
+        # Long-N memory guard: XLA keeps each phi's fp32 exp output alive
+        # as an autodiff residual (measured 289 MB x 2 per block at ViT-B
+        # N=4097 — the dominant HBM consumer of a long-N kernel-attention
+        # train step). Recomputing phi in the backward costs one O(N)
+        # einsum, so checkpoint it once the residual would be big; below
+        # the threshold the residual is cheaper than the recompute.
+        phi_bytes = 4 * q.shape[0] * q.shape[1] * q.shape[2] * self.m
+        if phi_bytes > PHI_CHECKPOINT_BYTES:
+            q_prime, k_prime = jax.checkpoint(
+                lambda q, k, om: (self._phi(q, om), self._phi(k, om))
+            )(q, k, omega)
+        else:
+            q_prime = self._phi(q, omega)
+            k_prime = self._phi(k, omega)
 
         if self.seq_mesh is not None:
             from ..parallel.seq_parallel import (

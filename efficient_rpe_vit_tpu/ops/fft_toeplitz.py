@@ -18,6 +18,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Raw T @ x dispatch window, measured on a real v5e with value-fetch
@@ -51,6 +52,15 @@ def _seq_len_from_coeffs(c) -> int:
 def toeplitz_from_coeffs(c, n: int | None = None):
     """Materialise T[..., i, j] = c[..., (j - i) + (n-1)].
 
+    Row i is the contiguous window c[(n-1-i) : (2n-1-i)], so T builds as n
+    vmapped dynamic-slices (a contiguous-window gather) per leading batch.
+    Chosen over the two alternatives by on-chip measurement at
+    [12, 2*4097-1] (experiments note, docs/BENCHMARKING.md): a 2D-index
+    `jnp.take` lowers to a [n*n, heads] gather whose minor heads dim pads
+    to 128 lanes (9.7 GB temp, 67.7 ms) and a broadcast+pad+reshape
+    pipeline relayouts ~1.5 GB flats (8.1 GB temp, 145 ms); the window
+    form runs in 40.6 ms with ZERO temp bytes.
+
     Args:
         c: [..., 2n-1] coefficients.
     Returns:
@@ -58,8 +68,80 @@ def toeplitz_from_coeffs(c, n: int | None = None):
     """
     if n is None:
         n = _seq_len_from_coeffs(c)
-    idx = (jnp.arange(n)[None, :] - jnp.arange(n)[:, None]) + (n - 1)  # [n, n]
-    return jnp.take(c, idx, axis=-1)
+    lead = c.shape[:-1]
+    m = c.shape[-1]  # 2n - 1
+
+    # Rows are gathered in groups of G: one dynamic-slice window of
+    # n + G - 1 covers G consecutive rows, whose individual rows are then
+    # static in-window slices — G-fold fewer DMA descriptors than one
+    # slice per row (the gather is latency-, not bandwidth-, bound).
+    G = 8
+    ng = -(-n // G) * G  # rows padded up to a group multiple
+    # group g covers rows i = Gg..Gg+G-1; its window starts at
+    # (n-1) - (Gg+G-1) in c, which goes negative for padded rows -> front
+    # pad c so every start is >= 0.
+    front = ng - n + G - 1
+    starts = (n - 1 + front) - (G * jnp.arange(ng // G) + G - 1)
+
+    def per_vector(cv):
+        cpad = jnp.pad(cv, (front, G - 1))
+
+        def group(s):
+            w = jax.lax.dynamic_slice(cpad, (s,), (n + G - 1,))
+            return jnp.stack(
+                [jax.lax.slice(w, (G - 1 - r,), (G - 1 - r + n,))
+                 for r in range(G)]
+            )
+
+        return jax.vmap(group)(starts).reshape(ng, n)[:n]
+
+    if not lead:
+        return per_vector(c)
+    flat = c.reshape(-1, m)
+    return jax.vmap(per_vector)(flat).reshape(*lead, n, n)
+
+
+def toeplitz_diag_sums(x):
+    """Sum each Toeplitz diagonal: out[..., d] = sum_{j-i+n-1 = d} x[..., i, j].
+
+    This is exactly the VJP of `toeplitz_from_coeffs` (dcoeffs from dT).
+    Row i contributes x[i, :] at offset n-1-i of the output, so the sum is
+    a hierarchical reduction: combine every G consecutive rows with STATIC
+    relative shifts (pad-and-add), which multiplies the inter-row stride
+    by G per level — log_G(n) levels of vectorised adds, no gather, no
+    scatter, no reshuffle. The two rejected alternatives both fell over at
+    n=4097: XLA's take-transpose scatter materialised a layout-padded
+    [n*n, heads] temp (8 GB), and a flatten+reshape pipeline relayouts
+    ~1.5 GB flats per call.
+
+    Args:
+        x: [..., n, n].
+    Returns:
+        [..., 2n-1] diagonal sums, indexed by d = (j - i) + (n - 1).
+    """
+    n = x.shape[-1]
+    lead = x.shape[:-2]
+    G = 8
+
+    def reduce_one(M):
+        R, W, s = M.shape[0], M.shape[1], 1
+        while R > 1:
+            P = (-R) % G
+            if P:
+                # zero rows pad at the FRONT: row r keeps offset (R-1-r)s
+                M = jnp.pad(M, ((P, 0), (0, 0)))
+                R += P
+            Wn = W + (G - 1) * s
+            Mg = M.reshape(R // G, G, W)
+            acc = jnp.zeros((R // G, Wn), M.dtype)
+            for u in range(G):  # static in-group shift (G-1-u)*s
+                off = (G - 1 - u) * s
+                acc = acc.at[:, off:off + W].add(Mg[:, u, :])
+            M, R, W, s = acc, R // G, Wn, G * s
+        return M[0, : 2 * n - 1]
+
+    flat = x.reshape(-1, n, n)
+    return jax.vmap(reduce_one)(flat).reshape(*lead, 2 * n - 1)
 
 
 def toeplitz_matmul_dense(c, x):

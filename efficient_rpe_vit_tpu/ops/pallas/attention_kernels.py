@@ -19,19 +19,22 @@ columns are masked with -0.7*float_max in the softmax kernel and contribute
 exact zeros in the masked-linear kernel (zero-padded phi(k) rows).
 
 Backward passes: the masked-linear kernel uses jax.custom_vjp with
-explicit-formula VJPs from saved (den, out) residuals — either in XLA
-(`MASKED_LINEAR_BWD_MODE = "jnp_residual"`, the measured default) or via
-the fully-fused Pallas kernels in masked_linear_bwd.py ("pallas").
-flash_softmax_attention saves (out, lse) residuals and runs the tiled
-dq/dkv-split Pallas backward in flash_bwd.py (`FLASH_BWD_MODE = "pallas"`)
-— no [B,H,N,N] tensor in either direction. Gradients match the direct jnp
-derivatives bit-close in tests.
+explicit-formula VJPs from saved (den, out) residuals — in XLA
+("jnp_residual", measured fastest at short N) or via the fully-fused
+Pallas kernels in masked_linear_bwd.py ("pallas");
+`MASKED_LINEAR_BWD_MODE = "auto"` switches between them on the KERPLE
+byte budget. flash_softmax_attention saves (out, lse) residuals and runs
+the tiled dq/dkv-split Pallas backward in flash_bwd.py
+(`FLASH_BWD_MODE = "pallas"`) — no [B,H,N,N] tensor in either direction.
+Gradients match the direct jnp derivatives bit-close in tests.
 
-Both launchers pad (N, F, D) up to lane/sublane multiples and slice the
-result; tests run the kernels in interpret mode on CPU. NOTE on dispatch:
-chained-A/B measurements (see ops/attention_core.py) showed XLA's fused
-dense path beats these kernels at ViT-scale head dims, so `auto` never
-selects them — they are explicit opt-ins and reference implementations.
+Both launchers pad each sequence axis independently to its block size and
+(F, D) up to lane multiples, then slice the result; tests run the kernels
+in interpret mode on CPU. Dispatch (see ops/attention_core.py): XLA's
+fused dense paths win at short N, so `auto` selects these kernels only
+past the measured model-level crossovers or the HBM byte budgets, with
+block sizes from the tuned `flash_default_blocks` /
+`masked_linear_default_blocks` policies (docs/BENCHMARKING.md round-3).
 """
 
 from __future__ import annotations
@@ -88,6 +91,17 @@ def flash_default_blocks(n: int) -> tuple:
     return min(512, np128), min(1024, np128)
 
 
+def masked_linear_default_blocks(n: int) -> tuple:
+    """(block_q, block_kv) policy for the masked-linear kernels.
+
+    Measured at B=4 H=12 N=4097 F=266 D=64 bf16 (chained, value-fetch):
+    (128,128) 33.5 ms fwd / 137 ms fwd+bwd -> (512,512) 13.3 / 51.3 ms
+    (72 TFLOP/s fwd). Unlike flash, (512,1024) regresses slightly here —
+    the F=266->384-padded q/k tiles make the KV block heavier."""
+    np128 = _round_up(max(n, 1), LANES)
+    return min(512, np128), min(512, np128)
+
+
 def _pad_axis(x, axis: int, target: int):
     pad = target - x.shape[axis]
     if pad == 0:
@@ -128,28 +142,36 @@ def _masked_linear_kernel(q_ref, k_ref, v_ref, t_ref, o_ref, d_ref,
         d_ref[0, 0] = den_ref[...]  # residual for the fused backward
 
 
-def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q: int,
-                            block_kv: int, interpret: bool):
+def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q,
+                            block_kv, interpret: bool):
     B, H, N, F = q_prime.shape
     D = v.shape[-1]
-    Np = _pad_len(N, block_q, block_kv)
+    if block_q is None or block_kv is None:
+        dq_, dkv_ = masked_linear_default_blocks(N)
+        block_q = block_q or dq_
+        block_kv = block_kv or dkv_
+    # Q and KV axes pad independently to their own block (see the flash
+    # kernel): padded phi(k) rows are zero so they contribute exact zeros;
+    # padded q rows are sliced away.
+    Nq = _round_up(N, block_q)
+    Nkv = _round_up(N, block_kv)
     Fp = _round_up(F, LANES)
     Dp = _round_up(D, LANES)
 
-    qp = _pad_axis(_pad_axis(q_prime, 2, Np), 3, Fp)
-    kp = _pad_axis(_pad_axis(k_prime, 2, Np), 3, Fp)
-    vp = _pad_axis(_pad_axis(v, 2, Np), 3, Dp)
-    Tp = _pad_axis(_pad_axis(T, 1, Np), 2, Np)  # [H, Np, Np]
+    qp = _pad_axis(_pad_axis(q_prime, 2, Nq), 3, Fp)
+    kp = _pad_axis(_pad_axis(k_prime, 2, Nkv), 3, Fp)
+    vp = _pad_axis(_pad_axis(v, 2, Nkv), 3, Dp)
+    Tp = _pad_axis(_pad_axis(T, 1, Nq), 2, Nkv)  # [H, Nq, Nkv]
 
-    n_q_tiles = Np // block_q
-    n_kv_tiles = Np // block_kv
+    n_q_tiles = Nq // block_q
+    n_kv_tiles = Nkv // block_kv
 
     grid = (B, H, n_q_tiles, n_kv_tiles)
     out, den = pl.pallas_call(
         functools.partial(_masked_linear_kernel, n_kv_tiles=n_kv_tiles),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
-            jax.ShapeDtypeStruct((B, H, Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Nq, Dp), v.dtype),
+            jax.ShapeDtypeStruct((B, H, Nq, 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -181,7 +203,7 @@ def _masked_linear_fwd_impl(q_prime, k_prime, v, T, *, block_q: int,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_masked_linear_attention(q_prime, k_prime, v, T,
-                                  block_q: int = 128, block_kv: int = 128,
+                                  block_q=None, block_kv=None,
                                   interpret: bool = False):
     """out_i = sum_j T[i,j] (phi(q_i).phi(k_j)) v_j / sum_j T[i,j] (phi..)
 
@@ -189,6 +211,8 @@ def fused_masked_linear_attention(q_prime, k_prime, v, T,
         q_prime, k_prime: [B, H, N, F] non-negative features.
         v: [B, H, N, D].
         T: [H, N, N] positive Toeplitz matrix (exp of KERPLE biases).
+        block_q, block_kv: tile sizes (multiples of 128); None picks
+            flash_default_blocks(N).
         interpret: run in Pallas interpret mode (CPU tests).
     Returns:
         [B, H, N, D].
@@ -213,7 +237,17 @@ def _fml_fwd(q_prime, k_prime, v, T, block_q, block_kv, interpret):
 # (D=16, F=44), where Pallas tile padding to 128 lanes multiplies the
 # backward's matmul work ~3-8x across its three kernels. 'pallas' switches
 # to the fully-fused masked_linear_bwd kernels (wins when D,F ~ 128).
-MASKED_LINEAR_BWD_MODE = "jnp_residual"
+# 'auto' keeps jnp_residual while its ~5 live [B,H,N,N] fp32 temps fit the
+# KERPLE byte budget and switches to the fused kernels past it — the
+# regime where the jnp backward simply OOMs (long-N KERPLE, the same wall
+# attention_core's dense path hits).
+MASKED_LINEAR_BWD_MODE = "auto"
+
+
+def _masked_linear_bwd_wants_pallas(b: int, h: int, n: int) -> bool:
+    from ..attention_core import KERPLE_DENSE_MEMORY_BUDGET
+
+    return 5 * b * h * n * n * 4 > KERPLE_DENSE_MEMORY_BUDGET
 
 
 def _masked_linear_bwd_jnp(q_prime, k_prime, v, T, den, out, g):
@@ -226,7 +260,12 @@ def _masked_linear_bwd_jnp(q_prime, k_prime, v, T, den, out, g):
 
 def _fml_bwd(block_q, block_kv, interpret, residuals, g):
     q_prime, k_prime, v, T, den, out = residuals
-    if MASKED_LINEAR_BWD_MODE == "pallas":
+    mode = MASKED_LINEAR_BWD_MODE
+    if mode == "auto":
+        b, h, n = q_prime.shape[0], q_prime.shape[1], q_prime.shape[2]
+        mode = ("pallas" if _masked_linear_bwd_wants_pallas(b, h, n)
+                else "jnp_residual")
+    if mode == "pallas":
         from .masked_linear_bwd import masked_linear_bwd
 
         return masked_linear_bwd(

@@ -142,7 +142,7 @@ def _dt_kernel(gn_ref, s_ref, v_ref, q_ref, k_ref, dt_ref, acc_ref,
 # ─── launcher ───────────────────────────────────────────────────────────
 
 def masked_linear_bwd(q_prime, k_prime, v, T, den, out, g, *,
-                      block_q: int = 128, block_kv: int = 128,
+                      block_q=None, block_kv=None,
                       interpret: bool = False):
     """Fused VJP for fused_masked_linear_attention.
 
@@ -152,35 +152,50 @@ def masked_linear_bwd(q_prime, k_prime, v, T, den, out, g, *,
             convention: this receives den WITHOUT eps; eps is added here).
         out: [B, H, N, D] forward output.
         g: [B, H, N, D] cotangent.
+        block_q, block_kv: tile sizes; None picks
+            masked_linear_default_blocks(N).
     Returns:
         (dq_prime, dk_prime, dv, dT).
     """
-    from .attention_kernels import EPS, _pad_axis, _pad_len, _round_up, LANES
+    from .attention_kernels import (
+        EPS, LANES, _pad_axis, _round_up, masked_linear_default_blocks,
+    )
 
     B, H, N, F = q_prime.shape
     D = v.shape[-1]
-    Np = _pad_len(N, block_q, block_kv)
+    if block_q is None or block_kv is None:
+        dq_, dkv_ = masked_linear_default_blocks(N)
+        block_q = block_q or dq_
+        block_kv = block_kv or dkv_
+    # Q and KV axes pad independently to their own block (see the flash
+    # kernel). Padded Q rows: g rows are zero -> gn = 0, s = 0 -> dA = 0,
+    # so they contribute nothing to dk'/dv/dT; padded KV rows: phi(k)/v
+    # rows are zero and the padded T columns are zero, so dq'/dT get exact
+    # zero contributions. Padded dq'/dk'/dv rows and dT rows/cols are
+    # sliced away below.
+    Nq = _round_up(N, block_q)
+    Nkv = _round_up(N, block_kv)
     Fp = _round_up(F, LANES)
     Dp = _round_up(D, LANES)
 
     gn = g / (den[..., None] + EPS)
     s = jnp.sum(g * out, axis=-1) / (den + EPS)  # [B, H, N]
 
-    qp = _pad_axis(_pad_axis(q_prime, 2, Np), 3, Fp)
-    kp = _pad_axis(_pad_axis(k_prime, 2, Np), 3, Fp)
-    vp = _pad_axis(_pad_axis(v, 2, Np), 3, Dp)
-    gnp = _pad_axis(_pad_axis(gn, 2, Np), 3, Dp)
-    sp = _pad_axis(s, 2, Np)[..., None]  # [B, H, Np, 1]
-    Tp = _pad_axis(_pad_axis(T, 1, Np), 2, Np)
+    qp = _pad_axis(_pad_axis(q_prime, 2, Nq), 3, Fp)
+    kp = _pad_axis(_pad_axis(k_prime, 2, Nkv), 3, Fp)
+    vp = _pad_axis(_pad_axis(v, 2, Nkv), 3, Dp)
+    gnp = _pad_axis(_pad_axis(gn, 2, Nq), 3, Dp)
+    sp = _pad_axis(s, 2, Nq)[..., None]  # [B, H, Nq, 1]
+    Tp = _pad_axis(_pad_axis(T, 1, Nq), 2, Nkv)
 
-    n_q = Np // block_q
-    n_kv = Np // block_kv
+    n_q = Nq // block_q
+    n_kv = Nkv // block_kv
     scr = (lambda *a: pltpu.VMEM(*a)) if _HAVE_PLTPU else None
 
     # P1: dq'
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, n_kv_tiles=n_kv),
-        out_shape=jax.ShapeDtypeStruct((B, H, Np, Fp), q_prime.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Nq, Fp), q_prime.dtype),
         grid=(B, H, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
@@ -200,8 +215,8 @@ def masked_linear_bwd(q_prime, k_prime, v, T, den, out, g, *,
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, n_q_tiles=n_q),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Np, Fp), k_prime.dtype),
-            jax.ShapeDtypeStruct((B, H, Np, Dp), v.dtype),
+            jax.ShapeDtypeStruct((B, H, Nkv, Fp), k_prime.dtype),
+            jax.ShapeDtypeStruct((B, H, Nkv, Dp), v.dtype),
         ),
         grid=(B, H, n_kv, n_q),
         in_specs=[
@@ -227,7 +242,7 @@ def masked_linear_bwd(q_prime, k_prime, v, T, den, out, g, *,
     # P3: dT (batch innermost, accumulated into the same [bq, bk] block)
     dT = pl.pallas_call(
         functools.partial(_dt_kernel, n_batch=B),
-        out_shape=jax.ShapeDtypeStruct((H, Np, Np), T.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, Nq, Nkv), T.dtype),
         grid=(H, n_q, n_kv, B),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dp), lambda h, i, j, b: (b, h, i, 0)),

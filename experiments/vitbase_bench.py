@@ -54,7 +54,7 @@ VARIANTS = ["baseline", "performer_favor", "performer_favor_most_general"]
 
 
 def bench_one(variant: str, image: int, patch: int, batch: int,
-              steps: int, warmup: int = 3):
+              steps: int, warmup: int = 3, remat: bool = False):
     from efficient_rpe_vit_tpu.configs import mnist_config
     from efficient_rpe_vit_tpu.models import create_model
     from efficient_rpe_vit_tpu.train import create_train_state, make_train_step
@@ -67,7 +67,7 @@ def bench_one(variant: str, image: int, patch: int, batch: int,
         dim=768, depth=12, heads=12, mlp_dim=3072, dropout=0.0,
         compute_dtype="bfloat16",
     )
-    model = create_model(variant, cfg)
+    model = create_model(variant, cfg, **({"remat": True} if remat else {}))
     rng = jax.random.PRNGKey(0)
     m = cfg.model
     sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))

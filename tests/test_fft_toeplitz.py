@@ -137,3 +137,21 @@ def test_fft_relative_error_small(rng):
     want = naive_toeplitz_matmul(c, x)
     rel = jnp.linalg.norm(got - want) / jnp.linalg.norm(want)
     assert rel < 1e-4
+
+
+def test_toeplitz_diag_sums_matches_gather_vjp(rng):
+    """toeplitz_diag_sums IS the VJP of toeplitz_from_coeffs (dcoeffs from
+    dT), reformulated as reverse+pad+reshape+sum because XLA's
+    take-transpose scatter materialised an 8 GB layout-padded temp at
+    ViT-B long-N shapes (the long-N KERPLE backward's memory blocker)."""
+    from efficient_rpe_vit_tpu.ops.fft_toeplitz import toeplitz_diag_sums
+
+    for shape in [(3, 9), (2, 2, 13), (12, 2 * 197 - 1)]:
+        n = (shape[-1] + 1) // 2
+        c = jax.random.normal(rng, shape)
+        dT = jax.random.normal(jax.random.PRNGKey(1), shape[:-1] + (n, n))
+        _, vjp = jax.vjp(lambda c: toeplitz_from_coeffs(c, n), c)
+        (want,) = vjp(dT)
+        got = toeplitz_diag_sums(dT)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -204,6 +204,112 @@ def test_flash_unequal_block_sizes(rng, bq, bkv):
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("bq,bkv", [(256, 128), (None, None)])
+def test_masked_linear_unequal_blocks_and_policy(kerple_inputs, bq, bkv):
+    """Independent q/kv padding + the None-default block policy on the
+    masked-linear kernel, forward AND the fully-fused Pallas backward."""
+    from efficient_rpe_vit_tpu.ops.pallas import attention_kernels as ak
+
+    qp, kp, v, coeffs = kerple_inputs
+    N = qp.shape[2]
+    T = toeplitz_from_coeffs(coeffs, N)
+    want = _kerple_dense(qp, kp, v, coeffs)
+    got = fused_masked_linear_attention(qp, kp, v, T, bq, bkv, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+    old = ak.MASKED_LINEAR_BWD_MODE
+    try:
+        ak.MASKED_LINEAR_BWD_MODE = "pallas"
+        gp = jax.grad(lambda qp, kp, v, T: jnp.sum(
+            fused_masked_linear_attention(qp, kp, v, T, bq, bkv, True) ** 2
+        ), argnums=(0, 1, 2, 3))(qp, kp, v, T)
+    finally:
+        ak.MASKED_LINEAR_BWD_MODE = old
+    gr = jax.grad(lambda qp, kp, v: jnp.sum(
+        _kerple_dense(qp, kp, v, coeffs) ** 2
+    ), argnums=(0, 1, 2))(qp, kp, v)
+    for a, b in zip(gp[:3], gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_masked_linear_bwd_auto_mode():
+    """'auto' keeps the measured-fastest jnp residual backward below the
+    KERPLE byte budget and switches to the fused Pallas kernels exactly
+    where the jnp backward's [B,H,N,N] temps would OOM."""
+    from efficient_rpe_vit_tpu.ops.pallas.attention_kernels import (
+        _masked_linear_bwd_wants_pallas,
+    )
+
+    assert not _masked_linear_bwd_wants_pallas(2, 2, 197)   # test shape
+    assert not _masked_linear_bwd_wants_pallas(256, 2, 197)  # bench shape
+    assert _masked_linear_bwd_wants_pallas(4, 12, 4097)      # ViT-B long-N
+
+
+def test_kerple_pallas_coeffs_level_vjp(kerple_inputs, rng):
+    """The long-N route's coeffs-level custom VJP (T rebuilt inside the
+    backward instead of saved per block — the fix for the 27 GB
+    all-layers-keep-T OOM) matches the dense oracle, including dcoeffs
+    through the Toeplitz gather's VJP."""
+    from efficient_rpe_vit_tpu.ops import attention_core as ac
+
+    qp, kp, v, coeffs = kerple_inputs
+    g = jax.random.normal(rng, v.shape)
+    out = ac._kerple_pallas(qp, kp, v, coeffs, True)
+    want = _kerple_dense(qp, kp, v, coeffs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+    gp = jax.grad(lambda qp, kp, v, c: jnp.vdot(
+        ac._kerple_pallas(qp, kp, v, c, True), g),
+        argnums=(0, 1, 2, 3))(qp, kp, v, coeffs)
+    gd = jax.grad(lambda qp, kp, v, c: jnp.vdot(
+        _kerple_dense(qp, kp, v, c), g),
+        argnums=(0, 1, 2, 3))(qp, kp, v, coeffs)
+    for a, b in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_kerple_auto_prefers_pallas_past_wall(monkeypatch):
+    """Past the dense memory wall, 'auto' routes to the fused Pallas
+    kernel when Pallas is available (FFT only as fallback), but falls to
+    FFT when T/dT themselves would bust the budget."""
+    from efficient_rpe_vit_tpu.ops import attention_core as ac
+
+    chosen = {}
+
+    def fake_pallas(qp, kp, v, coeffs):
+        chosen["method"] = "pallas"
+        return v
+
+    monkeypatch.setattr(ac, "_pallas_ok", lambda: True)
+    monkeypatch.setattr(ac, "_kerple_fft",
+                        lambda *a, **k: chosen.setdefault("method", "fft") and a[2])
+    monkeypatch.setattr(ac, "_kerple_pallas", fake_pallas)
+
+    B, H, N, F, D = 4, 12, 4097, 8, 4  # past the 8 GiB dense wall
+    qp = jnp.zeros((B, H, N, F))
+    v = jnp.zeros((B, H, N, D))
+    coeffs = jnp.ones((H, 2 * N - 1))
+    ac.kerple_linear_attention(qp, qp, v, coeffs, method="auto")
+    assert chosen["method"] == "pallas"
+
+    # N so large that T/dT [H,N,N] alone bust the budget -> fft fallback
+    chosen.clear()
+    N2 = 16384
+    called = {}
+    monkeypatch.setattr(
+        ac, "_kerple_fft",
+        lambda qp, kp, v, coeffs, blk: called.setdefault("fft", True) or v,
+    )
+    qp2 = jnp.zeros((1, 12, N2, F))
+    v2 = jnp.zeros((1, 12, N2, D))
+    coeffs2 = jnp.ones((12, 2 * N2 - 1))
+    ac.kerple_linear_attention(qp2, qp2, v2, coeffs2, method="auto")
+    assert called.get("fft") and "method" not in chosen
+
+
 def test_flash_default_block_policy(rng):
     """block_q/block_kv=None resolve through flash_default_blocks: clamped
     to the padded sequence for short N, large tiles for long N, and the
