@@ -55,18 +55,23 @@ EPS = 1e-6  # denominator stabiliser (reference: favor_plus.py:260)
 # OOMs at training batches, e.g. B=256 H=2 N=1024 is ~8.6 GB per tensor).
 KERPLE_DENSE_CROSSOVER_N = 8192           # hard N cap for the dense path
 KERPLE_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 5 temps
-# Pallas masked-linear kernel: stays an explicit opt-in after a two-level
-# round-2 re-measurement (value-fetch protocol). ISOLATED, the fused
-# Pallas forward + residual backward beat the dense path at every tested
-# shape (experiments/pallas_ab.py: 2.83-3.40 ms vs 3.04-5.83 ms at the
-# bench shape) — but IN THE FULL TRAIN STEP the dense path is 2x faster
-# (same-process interleaved A/B: 37-38k img/s dense vs 18.3k pallas),
-# because XLA fuses the dense einsums with the surrounding feature-map /
-# projection ops while the Pallas custom call is a fusion and layout
-# barrier. Lesson recorded in docs/BENCHMARKING.md: kernel wins must be
-# validated at the model level before touching dispatch. The fully-fused
-# Pallas backward (masked_linear_bwd.py) also lost to the residual-formula
-# backward at every tested shape.
+# Pallas masked-linear kernel: below the byte budget the dense path keeps
+# winning AT THE MODEL LEVEL (round-2 two-level re-measurement,
+# value-fetch protocol): isolated, the fused Pallas forward + residual
+# backward beat dense at every tested shape (experiments/pallas_ab.py:
+# 2.83-3.40 ms vs 3.04-5.83 ms at the bench shape), but in the full train
+# step dense is 2x faster (same-process interleaved A/B: 37-38k img/s
+# dense vs 18.3k pallas) because XLA fuses the dense einsums with the
+# surrounding feature-map / projection ops while the Pallas custom call is
+# a fusion and layout barrier. Lesson recorded in docs/BENCHMARKING.md:
+# kernel wins must be validated at the model level before touching
+# dispatch (experiments/kerple_pallas_ab.py re-asks this at ViT-B dims
+# with the round-3 tuned blocks). PAST the byte budget, `auto` routes to
+# the Pallas kernel (round 3) — there dense cannot run at all and the
+# tuned kernel is ~2,000x the streamed-FFT fallback at ViT-B N=4097; the
+# fused Pallas backward (masked_linear_bwd.py) likewise takes over from
+# the jnp residual backward exactly past the same budget
+# (MASKED_LINEAR_BWD_MODE = "auto").
 #
 # Flash softmax kernel: the round-2 A/B (fixed 128x128 blocks) had XLA
 # dense winning every N >= 512, so dispatch was memory-only. Round-3 block
