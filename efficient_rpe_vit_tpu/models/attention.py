@@ -277,7 +277,10 @@ class _KernelAttention(nn.Module):
         # einsum, so checkpoint it once the residual would be big; below
         # the threshold the residual is cheaper than the recompute.
         phi_bytes = 4 * q.shape[0] * q.shape[1] * q.shape[2] * self.m
-        if phi_bytes > PHI_CHECKPOINT_BYTES:
+        # symbolic dims (jax.export shape polymorphism) make the byte
+        # product non-concrete; those traces are inference-only, where the
+        # checkpoint is irrelevant — skip it
+        if isinstance(phi_bytes, int) and phi_bytes > PHI_CHECKPOINT_BYTES:
             q_prime, k_prime = jax.checkpoint(
                 lambda q, k, om: (self._phi(q, om), self._phi(k, om))
             )(q, k, omega)

@@ -97,11 +97,19 @@ FLASH_MIN_N = 1536  # model-level time crossover (bracketed 1025..2026)
 SOFTMAX_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 3 temps
 
 
+def _concrete_bytes(x, default: int) -> int:
+    """Byte counts built from shapes are plain ints except under
+    jax.export shape polymorphism (symbolic batch), where comparing them
+    is inconclusive; those traces are serving exports at modest batch, so
+    fall back to `default` (below-budget) there."""
+    return x if isinstance(x, int) else default
+
+
 def softmax_needs_flash(b: int, h: int, n: int) -> bool:
     """True when the dense softmax path's ~3 live [B,H,N,N] fp32
     temporaries would bust the HBM budget (or N crosses the opt-in
     FLASH_MIN_N override) — the regime where only the flash kernel runs."""
-    dense_bytes = 3 * b * h * n * n * 4
+    dense_bytes = _concrete_bytes(3 * b * h * n * n * 4, 0)
     return n >= FLASH_MIN_N or dense_bytes > SOFTMAX_DENSE_MEMORY_BUDGET
 
 
@@ -199,7 +207,8 @@ def kerple_linear_attention(q_prime, k_prime, v, coeffs, method: str = "auto",
     """
     b, h, n = q_prime.shape[0], q_prime.shape[1], q_prime.shape[2]
     if method == "auto":
-        dense_bytes = 5 * b * h * n * n * 4  # ~5 live [B,H,N,N] fp32 temps
+        # ~5 live [B,H,N,N] fp32 temps (symbolic batch -> treat as small)
+        dense_bytes = _concrete_bytes(5 * b * h * n * n * 4, 0)
         # the Pallas route still materialises T and dT at [H,N,N] fp32
         toeplitz_bytes = 2 * h * n * n * 4
         if (n < KERPLE_DENSE_CROSSOVER_N
@@ -366,7 +375,11 @@ def _kerple_fft(q_prime, k_prime, v, coeffs, fft_block: int):
     D = v.shape[-1]
 
     bytes_per_lane = B * H * N * F * 4
-    max_block = max(1, int(KERPLE_FFT_BLOCK_BUDGET // max(1, bytes_per_lane)))
+    if isinstance(bytes_per_lane, int):
+        max_block = max(1, int(KERPLE_FFT_BLOCK_BUDGET // max(1, bytes_per_lane)))
+    else:
+        # symbolic batch (jax.export): keep the requested block
+        max_block = fft_block
     if fft_block > max_block:
         # largest divisor of D not exceeding max_block keeps the reshape
         # exact (D % fft_block == 0 below falls back to D otherwise)

@@ -247,7 +247,10 @@ MASKED_LINEAR_BWD_MODE = "auto"
 def _masked_linear_bwd_wants_pallas(b: int, h: int, n: int) -> bool:
     from ..attention_core import KERPLE_DENSE_MEMORY_BUDGET
 
-    return 5 * b * h * n * n * 4 > KERPLE_DENSE_MEMORY_BUDGET
+    bts = 5 * b * h * n * n * 4
+    # symbolic batch (jax.export) -> inconclusive compare; keep the
+    # measured-default jnp residual backward there
+    return isinstance(bts, int) and bts > KERPLE_DENSE_MEMORY_BUDGET
 
 
 def _masked_linear_bwd_jnp(q_prime, k_prime, v, T, den, out, g):

@@ -1,0 +1,111 @@
+"""AOT serving exports (efficient_rpe_vit_tpu.serve).
+
+The artifact contract: weight-embedded StableHLO via jax.export with a
+SYMBOLIC batch dimension — deserializable and callable without the model
+zoo, matching the live model's logits exactly, at any batch size, and
+lowerable for platforms the exporting host doesn't have (cpu host ->
+tpu artifact). No reference analogue: the reference's deployment story is
+a torch state_dict that needs the whole Python class tree to reload
+(reference: experiments/utils/training.py:373-413).
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_rpe_vit_tpu.configs import mnist_config
+from efficient_rpe_vit_tpu.models import create_model
+from efficient_rpe_vit_tpu.serve import load_exported, save_exported
+
+
+def _build(variant):
+    cfg = mnist_config()
+    model = create_model(variant, cfg)
+    m = cfg.model
+    x = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           deterministic=True)
+    return cfg, model, variables
+
+
+@pytest.mark.parametrize("variant", [
+    "baseline",                      # softmax, abs-pos only
+    "baseline_circulant",            # FFT rotation RPE
+    "performer_favor_most_general",  # FAVOR+ + KERPLE (flagship)
+    "performer_relu_most_general",   # ReLU kernel + KERPLE
+])
+def test_export_roundtrip_batch_polymorphic(tmp_path, variant):
+    """One artifact serves any batch size with exact logits."""
+    cfg, model, variables = _build(variant)
+    m = cfg.model
+    path = str(tmp_path / "model.hlo")
+    save_exported(path, model, variables,
+                  image_size=m.image_size, in_channels=m.in_channels,
+                  metadata={"model_name": variant})
+    fn, meta = load_exported(path)
+    assert meta["metadata"]["model_name"] == variant
+    for batch in (2, 5):
+        x = jax.random.normal(
+            jax.random.PRNGKey(batch),
+            (batch, m.image_size, m.image_size, m.in_channels))
+        ref = model.apply(variables, x, deterministic=True)
+        got = fn(x)
+        assert got.shape == (batch, m.num_classes)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_export_multi_platform(tmp_path):
+    """A CPU host can lower for TPU serving; the artifact records the
+    platform list and still runs on the platforms it was lowered for."""
+    cfg, model, variables = _build("performer_favor")
+    m = cfg.model
+    path = str(tmp_path / "model.hlo")
+    save_exported(path, model, variables,
+                  image_size=m.image_size, in_channels=m.in_channels,
+                  platforms=("cpu", "tpu"))
+    fn, meta = load_exported(path)
+    assert meta["platforms"] == ["cpu", "tpu"]
+    x = jnp.zeros((3, m.image_size, m.image_size, m.in_channels))
+    assert fn(x).shape == (3, m.num_classes)
+
+
+def test_export_meta_sidecar(tmp_path):
+    cfg, model, variables = _build("baseline")
+    m = cfg.model
+    path = str(tmp_path / "model.hlo")
+    save_exported(path, model, variables,
+                  image_size=m.image_size, in_channels=m.in_channels,
+                  metadata={"model_name": "baseline", "dataset": "mnist"})
+    meta = json.load(open(path + ".meta.json"))
+    assert meta["format"] == "jax.export.stablehlo"
+    assert meta["input_shape"] == ["b", m.image_size, m.image_size,
+                                   m.in_channels]
+    assert meta["out_avals"][0]["shape"][-1] == str(m.num_classes)
+
+
+def test_export_cli_from_checkpoint(tmp_path, rng):
+    """export.py end-to-end: checkpoint -> artifact -> validated reload."""
+    from efficient_rpe_vit_tpu.train import create_train_state
+    from efficient_rpe_vit_tpu.train.checkpoint import save_checkpoint
+    from experiments.export import main as export_main
+
+    cfg = mnist_config()
+    model = create_model("performer_favor", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    ckpt = str(tmp_path / "ck.msgpack")
+    save_checkpoint(ckpt, state, epoch=0,
+                    metadata={"model_name": "performer_favor",
+                              "dataset": "mnist"})
+
+    out = str(tmp_path / "model.hlo")
+    export_main(["--checkpoint", ckpt, "--out", out, "--validate", "--cpu"])
+
+    fn, meta = load_exported(out)
+    assert meta["metadata"]["model_name"] == "performer_favor"
+    assert meta["metadata"]["from_checkpoint"] is True
+    x = jnp.zeros((4, 28, 28, 1))
+    assert fn(x).shape == (4, 10)
