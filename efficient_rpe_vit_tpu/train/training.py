@@ -143,13 +143,26 @@ def cross_entropy_loss(logits, labels):
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
 
 
-def make_train_step(model, donate: bool = False) -> Callable:
+def make_train_step(model, donate: bool = False,
+                    grad_accum: int = 1) -> Callable:
     """Build the jitted train step: fwd + bwd + update + metrics, one program.
 
     `donate` hands the input TrainState's buffers to XLA for in-place reuse
     (halves peak param/optimizer memory churn). Callers that need the old
     state after stepping should pass donate=False.
+
+    `grad_accum` > 1 splits the batch into that many microbatches and runs
+    them through a `lax.scan` inside the SAME jitted program — activation
+    memory scales with the microbatch while the optimizer sees the
+    full-batch mean gradient (exactly equal to the unaccumulated gradient
+    for equal-size microbatches, since the loss is a mean). This is the
+    TPU-native large-batch escape hatch: XLA keeps one microbatch's
+    activations live at a time, no Python-level loop, one compile.
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    if grad_accum > 1:
+        return _make_accum_train_step(model, donate, grad_accum)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, images, labels, dropout_key):
@@ -190,6 +203,82 @@ def make_train_step(model, donate: bool = False) -> Callable:
             )
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return new_state, loss, correct
+
+    return train_step
+
+
+def _make_accum_train_step(model, donate: bool, grad_accum: int) -> Callable:
+    """Gradient-accumulation train step (see make_train_step).
+
+    Mutable collections (FAVOR+ feature-redraw counters / redrawn Ω) are
+    threaded through the scan carry, so the semantics are identical to
+    running the microbatches as sequential forward passes: the redraw
+    counter advances once per microbatch apply, exactly as it does in the
+    unaccumulated step (one apply per step there, `grad_accum` applies
+    per optimizer step here).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, images, labels, dropout_key):
+        b = images.shape[0]
+        if b % grad_accum:
+            raise ValueError(
+                f"batch {b} not divisible by grad_accum {grad_accum}")
+        mb = b // grad_accum
+        xs = (
+            images.reshape(grad_accum, mb, *images.shape[1:]),
+            labels.reshape(grad_accum, mb),
+            jnp.arange(grad_accum),
+        )
+        redraw_mode = state.mutable_state is not None
+
+        def micro_loss(params, constants, mstate, x, y, key):
+            variables = {"params": params}
+            if constants is not None:
+                variables["constants"] = constants
+            rngs = {"dropout": key}
+            if mstate is not None:
+                variables["state"] = mstate
+                rngs["features"] = jax.random.fold_in(key, 1)
+                logits, updates = model.apply(
+                    variables, x, deterministic=False, rngs=rngs,
+                    mutable=["constants", "state"],
+                )
+            else:
+                logits = model.apply(
+                    variables, x, deterministic=False, rngs=rngs,
+                )
+                updates = None
+            loss = cross_entropy_loss(logits, y)
+            correct = jnp.sum(jnp.argmax(logits, -1) == y)
+            return loss, (correct, updates)
+
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+        def body(carry, inp):
+            gsum, lsum, csum, constants, mstate = carry
+            x, y, i = inp
+            key = jax.random.fold_in(dropout_key, i)
+            (loss, (correct, updates)), grads = grad_fn(
+                state.params, constants, mstate, x, y, key)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            if updates is not None:
+                constants = updates.get("constants", constants)
+                mstate = updates.get("state", mstate)
+            return (gsum, lsum + loss, csum + correct, constants,
+                    mstate), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        init = (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+                state.constants, state.mutable_state)
+        (gsum, lsum, correct, constants, mstate), _ = jax.lax.scan(
+            body, init, xs)
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+        new_state = state.apply_gradients(grads)
+        if redraw_mode:
+            new_state = new_state.replace(
+                constants=constants, mutable_state=mstate)
+        return new_state, lsum / grad_accum, correct
 
     return train_step
 

@@ -73,6 +73,11 @@ def parse_args(argv=None):
                         "combine with --cpu if unsure")
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--grad-accum", type=int, default=1, metavar="A",
+                   help="split each batch into A microbatches scanned "
+                        "inside one jitted step (activation memory scales "
+                        "with the microbatch; gradients are exactly the "
+                        "full-batch mean)")
     p.add_argument("--remat", action="store_true",
                    help="activation checkpointing: rematerialise block "
                         "activations in the backward (peak HBM O(1) blocks "
@@ -211,6 +216,13 @@ def main(argv=None, shared=None):
         nf = (args.num_features if args.num_features == "mxu"
               else int(args.num_features))
         attention_config = {"num_features": nf}
+    if args.grad_accum > 1 and args.mesh:
+        raise SystemExit(
+            "--grad-accum composes with the single-device step only for "
+            "now; on a mesh, scale the global batch over 'data' instead "
+            "(the sharded step already keeps per-device activations at "
+            "batch/n_data)."
+        )
     if args.mesh:
         mesh = _build_mesh(args.mesh)
         if "seq" in mesh.axis_names:
@@ -281,7 +293,8 @@ def main(argv=None, shared=None):
                                jax.device_put(labels, s))
     else:
         # donate=True: each step consumes the previous state's buffers
-        train_step = make_train_step(model, donate=True)
+        train_step = make_train_step(model, donate=True,
+                                     grad_accum=args.grad_accum)
         eval_step = make_eval_step(model)
         if shared is not None:
             shared["train_step"] = train_step

@@ -317,3 +317,24 @@ def test_benchmark_cli_forwards_num_features(tmp_path):
     assert summary["performer_favor"]["test_accuracy"]["mean"] > 1.0
     cfg = json.load(open(os.path.join(str(tmp_path), "benchmark_config.json")))
     assert cfg["num_features"] == "mxu"
+
+
+def test_train_cli_grad_accum(tmp_path):
+    """--grad-accum trains end-to-end; mesh composition is refused loudly."""
+    from experiments.train import main as train_main
+
+    metrics = train_main([
+        "--model", "performer_favor", "--dataset", "mnist", "--epochs", "1",
+        "--grad-accum", "4", "--batch-size", "64", "--cpu", "--quiet",
+        "--output-dir", str(tmp_path),
+    ])
+    assert metrics["aggregate"]["final_test_accuracy"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="grad-accum"):
+        train_main([
+            "--model", "baseline", "--dataset", "mnist", "--epochs", "1",
+            "--grad-accum", "2", "--mesh", "data=8", "--cpu", "--quiet",
+            "--output-dir", str(tmp_path),
+        ])

@@ -452,3 +452,48 @@ def test_orbax_checkpoint_sharded_state(rng, tmp_path):
         np.asarray(qkv),
         np.asarray(state.params["block_0"]["attention"]["qkv"]["kernel"]),
     )
+
+
+def test_grad_accum_matches_full_batch(rng):
+    """A=4 microbatches produce the SAME update as the unaccumulated step
+    (mean-of-means == full-batch mean for equal microbatches)."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor_most_general", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    y = jnp.arange(8) % 10
+    s1, l1, c1 = make_train_step(model)(state, x, y, rng)
+    s4, l4, c4 = make_train_step(model, grad_accum=4)(state, x, y, rng)
+    assert float(l1) == pytest.approx(float(l4), abs=1e-5)
+    assert int(c1) == int(c4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grad_accum_threads_redraw_state(rng):
+    """Mutable feature-redraw collections ride the scan carry: the counter
+    advances once per microbatch apply and the redrawn omega sticks."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor", cfg,
+                         attention_config={"feature_redraw_interval": 2})
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    assert state.mutable_state is not None
+    step = make_train_step(model, grad_accum=4)
+    new_state, loss, _ = step(state, jax.random.normal(rng, (8, 28, 28, 1)),
+                              jnp.arange(8) % 10, rng)
+    assert bool(jnp.isfinite(loss))
+    for before, after in zip(
+            jax.tree_util.tree_leaves(state.mutable_state),
+            jax.tree_util.tree_leaves(new_state.mutable_state)):
+        np.testing.assert_array_equal(np.asarray(after),
+                                      np.asarray(before) + 4)
+
+
+def test_grad_accum_rejects_indivisible_batch(rng):
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    with pytest.raises(ValueError, match="not divisible"):
+        make_train_step(model, grad_accum=3)(
+            state, jnp.zeros((8, 28, 28, 1)), jnp.arange(8) % 10, rng)
