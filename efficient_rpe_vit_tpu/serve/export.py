@@ -42,6 +42,7 @@ def export_forward(
     in_channels: int,
     platforms: Optional[Sequence[str]] = None,
     input_dtype=jnp.float32,
+    weights_dtype=None,
 ):
     """Export the deterministic forward as a weight-embedded artifact.
 
@@ -53,9 +54,20 @@ def export_forward(
         image_size / in_channels: input geometry (from the config).
         platforms: lowering platforms, e.g. ("cpu", "tpu"); default is the
             current backend.
+        weights_dtype: optionally cast floating-point weights for the
+            artifact (e.g. ``jnp.bfloat16`` halves its size and feeds the
+            MXU its native input dtype; logits move by ~bf16 rounding).
     Returns:
         jax.export.Exported (serialize with ``.serialize()``).
     """
+    if weights_dtype is not None:
+        wd = jnp.dtype(weights_dtype)
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(wd)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            variables,
+        )
 
     def forward(x):
         return model.apply(variables, x, deterministic=True)
@@ -79,6 +91,7 @@ def save_exported(
     in_channels: int,
     platforms: Optional[Sequence[str]] = None,
     metadata: Optional[Dict[str, Any]] = None,
+    weights_dtype=None,
 ) -> str:
     """Export + write ``path`` (serialized bytes) and ``path.meta.json``."""
     exported = export_forward(
@@ -87,6 +100,7 @@ def save_exported(
         image_size=image_size,
         in_channels=in_channels,
         platforms=platforms,
+        weights_dtype=weights_dtype,
     )
     blob = exported.serialize()
     d = os.path.dirname(os.path.abspath(path))
@@ -96,6 +110,8 @@ def save_exported(
     meta = {
         "format": "jax.export.stablehlo",
         "platforms": list(exported.platforms),
+        "weights_dtype": (str(jnp.dtype(weights_dtype))
+                          if weights_dtype is not None else "unchanged"),
         "input_shape": ["b", image_size, image_size, in_channels],
         "out_avals": [
             {"shape": [str(s) for s in a.shape], "dtype": str(a.dtype)}

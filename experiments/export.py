@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--platforms", nargs="+", default=None,
                    help="lowering platforms (e.g. cpu tpu); default: "
                         "current backend")
+    p.add_argument("--weights-dtype", default=None,
+                   choices=[None, "bfloat16", "float32"],
+                   help="cast floating weights for the artifact (bfloat16 "
+                        "halves its size and is the MXU's native input)")
     p.add_argument("--validate", action="store_true",
                    help="reload the artifact and check logits vs the live "
                         "model at two batch sizes")
@@ -88,6 +92,7 @@ def main(argv=None):
         args.out, model, variables,
         image_size=m.image_size, in_channels=m.in_channels,
         platforms=args.platforms,
+        weights_dtype=args.weights_dtype,
         metadata={
             "model_name": model_name,
             "dataset": dataset,
@@ -103,6 +108,8 @@ def main(argv=None):
     if args.validate:
         fn, _ = load_exported(path)
         ok = True
+        # bf16 weights move logits by rounding; fp32 artifacts must match
+        tol = 1e-4 if args.weights_dtype in (None, "float32") else 5e-2
         for batch in (2, 5):
             x = jax.random.normal(
                 jax.random.PRNGKey(batch),
@@ -112,7 +119,7 @@ def main(argv=None):
             got = fn(x)
             err = float(jnp.max(jnp.abs(got - ref)))
             print(f"validate B={batch}: max |Δlogit| = {err:.2e}")
-            ok = ok and err < 1e-4
+            ok = ok and err < tol
         if not ok:
             raise SystemExit("validation FAILED")
         print("validation OK")
