@@ -74,11 +74,14 @@ def _state_specs(state: TrainState, mesh: Mesh):
         opt_state=opt_specs,
         constants=const_specs,
         mutable_state=mstate_specs,
+        # the EMA shadow mirrors the params tree, spec-for-spec
+        ema_params=(param_specs if state.ema_params is not None else None),
     )
 
 
 def create_sharded_train_state(
-    model, config, rng, sample_input, mesh: Mesh, steps_per_epoch: int = 100
+    model, config, rng, sample_input, mesh: Mesh, steps_per_epoch: int = 100,
+    ema_decay: float = 0.0
 ) -> Tuple[TrainState, TrainState]:
     """Initialise a TrainState and place it on the mesh.
 
@@ -86,7 +89,8 @@ def create_sharded_train_state(
     used for the jitted step's in/out shardings.
     """
     state = create_train_state(
-        model, config, rng, sample_input, steps_per_epoch=steps_per_epoch
+        model, config, rng, sample_input, steps_per_epoch=steps_per_epoch,
+        ema_decay=ema_decay,
     )
     specs = _state_specs(state, mesh)
 
@@ -106,6 +110,11 @@ def create_sharded_train_state(
             jax.tree_util.tree_map(put, state.mutable_state,
                                    specs.mutable_state)
             if state.mutable_state is not None
+            else None
+        ),
+        ema_params=(
+            jax.tree_util.tree_map(put, state.ema_params, specs.ema_params)
+            if state.ema_params is not None
             else None
         ),
     )
@@ -141,6 +150,11 @@ def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
             to_shardings(specs.mutable_state)
             if specs.mutable_state is not None else None
         ),
+        ema_params=(
+            to_shardings(specs.ema_params)
+            if specs.ema_params is not None else None
+        ),
+        ema_decay=specs.ema_decay,
     )
 
     def step_fn(state: TrainState, images, labels, dropout_key):

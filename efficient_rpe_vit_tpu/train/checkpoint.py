@@ -33,6 +33,9 @@ def save_checkpoint(
         "mutable_state": (state.mutable_state
                           if state.mutable_state is not None else {}),
     }
+    # key present only when EMA is tracked: keeps old checkpoints loadable
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(payload))
     meta = {
@@ -61,6 +64,9 @@ def load_checkpoint(path: str, state) -> Tuple[Any, Dict[str, Any]]:
         "mutable_state": (state.mutable_state
                           if state.mutable_state is not None else {}),
     }
+    has_ema = getattr(state, "ema_params", None) is not None
+    if has_ema:
+        template["ema_params"] = state.ema_params
     restored = serialization.from_bytes(template, raw)
     new_state = state.replace(
         step=restored["step"],
@@ -69,6 +75,7 @@ def load_checkpoint(path: str, state) -> Tuple[Any, Dict[str, Any]]:
         constants=restored["constants"] if state.constants is not None else None,
         mutable_state=(restored["mutable_state"]
                        if state.mutable_state is not None else None),
+        ema_params=restored["ema_params"] if has_ema else None,
     )
     meta_path = path + ".meta.json"
     meta: Dict[str, Any] = {}
@@ -105,6 +112,8 @@ def save_checkpoint_orbax(
         "mutable_state": (state.mutable_state
                           if state.mutable_state is not None else {}),
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
     with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
         ckptr.save(path, payload, force=True)
     meta = {
@@ -134,6 +143,9 @@ def load_checkpoint_orbax(path: str, state) -> Tuple[Any, Dict[str, Any]]:
         "mutable_state": (state.mutable_state
                           if state.mutable_state is not None else {}),
     }
+    has_ema = getattr(state, "ema_params", None) is not None
+    if has_ema:
+        template["ema_params"] = state.ema_params
     with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
         restored = ckptr.restore(path, ocp.args.StandardRestore(template))
     new_state = state.replace(
@@ -144,6 +156,7 @@ def load_checkpoint_orbax(path: str, state) -> Tuple[Any, Dict[str, Any]]:
                    if state.constants is not None else None),
         mutable_state=(restored["mutable_state"]
                        if state.mutable_state is not None else None),
+        ema_params=restored["ema_params"] if has_ema else None,
     )
     meta_path = os.path.join(path, "meta.json")
     meta: Dict[str, Any] = {}

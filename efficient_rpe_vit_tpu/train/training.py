@@ -34,14 +34,35 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     constants: Any = None  # non-trainable variables (e.g. omega)
     mutable_state: Any = None  # 'state' collection (feature-redraw counters)
+    # Polyak/EMA shadow of params (None when disabled). Updated inside the
+    # same jitted step — on TPU the elementwise lerp fuses with the
+    # optimizer update, so the shadow costs one extra HBM read/write of
+    # the params, not a separate dispatch.
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        extra = {}
+        if self.ema_params is not None:
+            d = self.ema_decay
+            extra["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                self.ema_params, new_params,
+            )
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=new_opt_state,
+            **extra,
         )
+
+    def eval_view(self) -> "TrainState":
+        """State to evaluate/serve: EMA params when tracked, else live."""
+        if self.ema_params is None:
+            return self
+        return self.replace(params=self.ema_params)
 
 
 def create_lr_scheduler(
@@ -107,12 +128,14 @@ def create_optimizer(
 
 
 def create_train_state(model, config, rng, sample_input,
-                       steps_per_epoch: int = 100) -> TrainState:
+                       steps_per_epoch: int = 100,
+                       ema_decay: float = 0.0) -> TrainState:
     """Initialise params + optimiser from an ExperimentConfig.
 
     `steps_per_epoch` sizes the LR schedule horizon (epochs *
     steps_per_epoch); pass len(train_dataset) so cosine/step schedules
-    span the actual run.
+    span the actual run. `ema_decay` > 0 tracks a Polyak/EMA shadow of
+    the params (initialised to the params), used by `eval_view()`.
     """
     variables = model.init({"params": rng}, sample_input, deterministic=True)
     params = variables["params"]
@@ -135,6 +158,9 @@ def create_train_state(model, config, rng, sample_input,
         tx=tx,
         constants=constants,
         mutable_state=mutable_state,
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                    if ema_decay > 0 else None),
+        ema_decay=float(ema_decay),
     )
 
 

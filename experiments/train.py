@@ -73,6 +73,9 @@ def parse_args(argv=None):
                         "combine with --cpu if unsure")
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--ema-decay", type=float, default=0.0, metavar="D",
+                   help="track a Polyak/EMA shadow of the params (e.g. "
+                        "0.999) and evaluate/checkpoint with it")
     p.add_argument("--grad-accum", type=int, default=1, metavar="A",
                    help="split each batch into A microbatches scanned "
                         "inside one jitted step (activation memory scales "
@@ -255,11 +258,12 @@ def main(argv=None, shared=None):
 
         state, state_specs = create_sharded_train_state(
             model, config, init_key, sample, mesh,
-            steps_per_epoch=len(train_ds),
+            steps_per_epoch=len(train_ds), ema_decay=args.ema_decay,
         )
     else:
         state = create_train_state(model, config, init_key, sample,
-                                   steps_per_epoch=len(train_ds))
+                                   steps_per_epoch=len(train_ds),
+                                   ema_decay=args.ema_decay)
     n_params = count_parameters(state.params)
     if not args.quiet:
         print(f"Parameters: {n_params['total']:,}")
@@ -338,7 +342,7 @@ def main(argv=None, shared=None):
                     print(f"Profiler trace written to {args.profile}")
             except Exception as e:  # pragma: no cover
                 print(f"[warn] profiler stop failed: {e}")
-        em = evaluate(state, eval_step, test_ds)
+        em = evaluate(state.eval_view(), eval_step, test_ds)
         per_epoch.append({
             "epoch": epoch,
             "train_loss": tm["loss"],
@@ -364,7 +368,7 @@ def main(argv=None, shared=None):
     total_train_time = time.perf_counter() - t_train0
 
     if args.eval_detailed or not per_epoch:
-        final_eval = evaluate(state, eval_step, test_ds,
+        final_eval = evaluate(state.eval_view(), eval_step, test_ds,
                               num_classes=m.num_classes,
                               detailed=args.eval_detailed)
     else:

@@ -338,3 +338,15 @@ def test_train_cli_grad_accum(tmp_path):
             "--grad-accum", "2", "--mesh", "data=8", "--cpu", "--quiet",
             "--output-dir", str(tmp_path),
         ])
+
+
+def test_train_cli_ema(tmp_path):
+    """--ema-decay trains, evaluates the shadow, and checkpoints it."""
+    from experiments.train import main as train_main
+
+    metrics = train_main([
+        "--model", "baseline", "--dataset", "mnist", "--epochs", "1",
+        "--ema-decay", "0.99", "--batch-size", "64", "--cpu", "--quiet",
+        "--output-dir", str(tmp_path), "--save-model",
+    ])
+    assert metrics["aggregate"]["final_test_accuracy"] > 0

@@ -425,3 +425,42 @@ def test_three_axis_dp_tp_cp_train_step(rng):
     assert jnp.isfinite(loss)
     p1 = state.params["block_0"]["attention"]["qkv"]["kernel"]
     assert float(jnp.abs(jnp.asarray(p1) - jnp.asarray(p0)).max()) > 0
+
+
+def test_sharded_state_tracks_ema():
+    """EMA shadows ride the mesh with the params' own specs and update
+    inside the sharded step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.parallel import (
+        create_sharded_train_state,
+        make_parallel_train_step,
+    )
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor", cfg)
+    rng = jax.random.PRNGKey(0)
+    mesh8 = make_mesh(n_model=2)
+    state, specs = create_sharded_train_state(
+        model, cfg, rng, jnp.zeros((2, 28, 28, 1)), mesh8,
+        steps_per_epoch=10, ema_decay=0.9)
+    assert specs.ema_params is not None
+    # shadow sharded exactly like its param
+    for p, e in zip(jax.tree_util.tree_leaves(specs.params),
+                    jax.tree_util.tree_leaves(specs.ema_params)):
+        assert p == e
+    step = make_parallel_train_step(model, mesh8, specs, donate=False)
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    y = jnp.arange(8) % 10
+    new_state, loss, _ = step(state, x, y, rng)
+    assert bool(jnp.isfinite(loss))
+    expect = jax.tree_util.tree_map(
+        lambda e, p: 0.9 * e + 0.1 * p, state.ema_params, new_state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(new_state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -497,3 +497,55 @@ def test_grad_accum_rejects_indivisible_batch(rng):
     with pytest.raises(ValueError, match="not divisible"):
         make_train_step(model, grad_accum=3)(
             state, jnp.zeros((8, 28, 28, 1)), jnp.arange(8) % 10, rng)
+
+
+def test_ema_params_track_polyak_average(rng):
+    """ema <- d*ema + (1-d)*params after every update; eval_view serves
+    the shadow."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    d = 0.9
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)),
+                               ema_decay=d)
+    assert state.ema_params is not None
+    step = make_train_step(model)
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    y = jnp.arange(8) % 10
+
+    expect = jax.tree_util.tree_map(jnp.copy, state.params)
+    s = state
+    for i in range(3):
+        s, _, _ = step(s, x, y, jax.random.fold_in(rng, i))
+        expect = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * p, expect, s.params)
+    for e, got in zip(jax.tree_util.tree_leaves(expect),
+                      jax.tree_util.tree_leaves(s.ema_params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(e),
+                                   rtol=1e-6, atol=1e-7)
+    # the shadow lags the live params (they moved, ema only 1-d of the way)
+    assert any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(s.params),
+                        jax.tree_util.tree_leaves(s.ema_params)))
+    ev = s.eval_view()
+    for a, b in zip(jax.tree_util.tree_leaves(ev.params),
+                    jax.tree_util.tree_leaves(s.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_checkpoint_roundtrip(rng, tmp_path):
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)),
+                               ema_decay=0.99)
+    state, _, _ = make_train_step(model)(
+        state, jax.random.normal(rng, (4, 28, 28, 1)), jnp.arange(4) % 10,
+        rng)
+    path = str(tmp_path / "ema_ck.msgpack")
+    save_checkpoint(path, state, epoch=0)
+    template = create_train_state(model, cfg, jax.random.PRNGKey(7),
+                                  jnp.zeros((2, 28, 28, 1)), ema_decay=0.99)
+    restored, _ = load_checkpoint(path, template)
+    for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(restored.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
