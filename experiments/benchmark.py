@@ -48,6 +48,12 @@ def parse_args(argv=None):
                    help="kernel-attention feature count: int or 'mxu' "
                         "(forwarded to train.py)")
     p.add_argument("--augmentation", action="store_true", default=None)
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="forwarded to train.py --grad-accum")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="forwarded to train.py --ema-decay")
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="forwarded to train.py --remat")
     p.add_argument("--output-dir", type=str, default=None,
                    help="default results/benchmark_{dataset}_{timestamp}")
     p.add_argument("--skip-existing", action="store_true",
@@ -98,6 +104,12 @@ def run_single_training(model: str, seed: int, run_dir: str, args,
         cli += ["--num-features", args.num_features]
     if args.augmentation:
         cli += ["--augmentation"]
+    if args.grad_accum is not None:
+        cli += ["--grad-accum", str(args.grad_accum)]
+    if args.ema_decay is not None:
+        cli += ["--ema-decay", str(args.ema_decay)]
+    if args.remat:
+        cli += ["--remat"]
 
     if args.subprocess:
         script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -147,6 +159,8 @@ def main(argv=None):
         "compute_dtype": args.compute_dtype,
         "mlp_type": args.mlp_type, "num_experts": args.num_experts,
         "num_features": args.num_features,
+        "grad_accum": args.grad_accum, "ema_decay": args.ema_decay,
+        "remat": args.remat,
         "timestamp": datetime.now().isoformat(),
     })
     print(f"Benchmark -> {out_dir} (models={args.models}, seeds={seeds})")

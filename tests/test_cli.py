@@ -350,3 +350,17 @@ def test_train_cli_ema(tmp_path):
         "--output-dir", str(tmp_path), "--save-model",
     ])
     assert metrics["aggregate"]["final_test_accuracy"] > 0
+
+
+def test_benchmark_cli_forwards_grad_accum_and_ema(tmp_path):
+    from experiments.benchmark import main as bench_main
+
+    out = str(tmp_path / "bench")
+    summary = bench_main([
+        "--models", "baseline", "--dataset", "mnist", "--num-runs", "1",
+        "--epochs", "1", "--batch-size", "64", "--grad-accum", "2",
+        "--ema-decay", "0.99", "--output-dir", out, "--quiet",
+    ])
+    assert summary["baseline"]["num_runs"] == 1
+    cfg = json.load(open(os.path.join(out, "benchmark_config.json")))
+    assert cfg["grad_accum"] == 2 and cfg["ema_decay"] == 0.99
