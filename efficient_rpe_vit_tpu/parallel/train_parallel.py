@@ -122,7 +122,8 @@ def create_sharded_train_state(
 
 
 def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
-                             donate: bool = True) -> Callable:
+                             donate: bool = True,
+                             label_smoothing: float = 0.0) -> Callable:
     """Build the sharded jitted train step.
 
     Signature: (state, images [B_global, H, W, C], labels [B_global],
@@ -179,7 +180,8 @@ def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
                     variables, images, deterministic=False, rngs=rngs,
                 )
                 updates = None
-            return cross_entropy_loss(logits, labels), (logits, updates)
+            return (cross_entropy_loss(logits, labels, label_smoothing),
+                    (logits, updates))
 
         (loss, (logits, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

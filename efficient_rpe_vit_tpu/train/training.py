@@ -164,13 +164,20 @@ def create_train_state(model, config, rng, sample_input,
     )
 
 
-def cross_entropy_loss(logits, labels):
+def cross_entropy_loss(logits, labels, label_smoothing: float = 0.0):
     logp = jax.nn.log_softmax(logits)
+    if label_smoothing:
+        # uniform smoothing: (1-s) on the target + s/K everywhere
+        k = logits.shape[-1]
+        s = label_smoothing
+        on = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        return -jnp.mean((1.0 - s) * on + (s / k) * jnp.sum(logp, axis=-1))
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
 
 
 def make_train_step(model, donate: bool = False,
-                    grad_accum: int = 1) -> Callable:
+                    grad_accum: int = 1,
+                    label_smoothing: float = 0.0) -> Callable:
     """Build the jitted train step: fwd + bwd + update + metrics, one program.
 
     `donate` hands the input TrainState's buffers to XLA for in-place reuse
@@ -188,7 +195,8 @@ def make_train_step(model, donate: bool = False,
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     if grad_accum > 1:
-        return _make_accum_train_step(model, donate, grad_accum)
+        return _make_accum_train_step(model, donate, grad_accum,
+                                      label_smoothing)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, images, labels, dropout_key):
@@ -215,7 +223,7 @@ def make_train_step(model, donate: bool = False,
                     variables, images, deterministic=False, rngs=rngs,
                 )
                 updates = None
-            loss = cross_entropy_loss(logits, labels)
+            loss = cross_entropy_loss(logits, labels, label_smoothing)
             return loss, (logits, updates)
 
         (loss, (logits, updates)), grads = jax.value_and_grad(
@@ -233,7 +241,8 @@ def make_train_step(model, donate: bool = False,
     return train_step
 
 
-def _make_accum_train_step(model, donate: bool, grad_accum: int) -> Callable:
+def _make_accum_train_step(model, donate: bool, grad_accum: int,
+                           label_smoothing: float = 0.0) -> Callable:
     """Gradient-accumulation train step (see make_train_step).
 
     Mutable collections (FAVOR+ feature-redraw counters / redrawn Ω) are
@@ -275,7 +284,7 @@ def _make_accum_train_step(model, donate: bool, grad_accum: int) -> Callable:
                     variables, x, deterministic=False, rngs=rngs,
                 )
                 updates = None
-            loss = cross_entropy_loss(logits, y)
+            loss = cross_entropy_loss(logits, y, label_smoothing)
             correct = jnp.sum(jnp.argmax(logits, -1) == y)
             return loss, (correct, updates)
 

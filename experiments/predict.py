@@ -28,8 +28,12 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--checkpoint", default=None,
                    help="path written by save_checkpoint (msgpack)")
+    p.add_argument("--artifact", default=None,
+                   help="serving artifact written by export.py — "
+                        "classification runs from the artifact + its "
+                        "sidecar alone (no model zoo, no config)")
     p.add_argument("--model", default=None,
                    help="variant name; default from the checkpoint metadata")
     p.add_argument("--dataset", default=None, choices=[None, "mnist", "cifar10"],
@@ -42,6 +46,69 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
+
+
+def _predict_from_artifact(args):
+    """Serve from an exported artifact: no model zoo, no config import —
+    geometry and normalisation come from the artifact's sidecar."""
+    import jax.numpy as jnp
+
+    from efficient_rpe_vit_tpu.serve import load_exported
+
+    fn, meta = load_exported(args.artifact)
+    md = meta.get("metadata", {})
+    _, H, W, C = meta["input_shape"]
+    mean = np.asarray(md.get("mean", [0.0]), np.float32)
+    std = np.asarray(md.get("std", [1.0]), np.float32)
+    name = md.get("model_name", "artifact")
+
+    def normalise(x):
+        x = np.asarray(x, np.float32)
+        if x.max() > 1.5:  # raw 0-255 input
+            x = x / 255.0
+        return (x - mean) / std
+
+    if args.input:
+        x = np.load(args.input)
+        if x.ndim == 2:
+            x = x.reshape(-1, H, W, C)
+        elif x.ndim == 3:
+            x = x[..., None]
+        x = normalise(x)
+        preds = []
+        for i in range(0, len(x), args.batch_size):
+            logits = fn(jnp.asarray(x[i:i + args.batch_size]))
+            preds.append(np.argmax(np.asarray(logits), -1))
+        preds = np.concatenate(preds)
+        if args.output:
+            if args.output.endswith(".npy"):
+                np.save(args.output, preds)
+            else:
+                with open(args.output, "w") as f:
+                    json.dump({"model": name,
+                               "predictions": preds.tolist()}, f)
+            print(f"{len(preds)} predictions written to {args.output}")
+        else:
+            print(preds.tolist())
+        return preds
+
+    # evaluate the dataset test split (dataset name from the sidecar)
+    from efficient_rpe_vit_tpu.configs import cifar10_config, mnist_config
+    from efficient_rpe_vit_tpu.data import get_dataloaders
+
+    dataset = args.dataset or md.get("dataset", "mnist")
+    cfg = mnist_config() if dataset == "mnist" else cifar10_config()
+    _, test_ds = get_dataloaders(cfg)
+    correct = total = 0
+    for images, labels in test_ds:
+        logits = fn(images)
+        correct += int(np.sum(np.argmax(np.asarray(logits), -1)
+                              == np.asarray(labels)))
+        total += int(labels.shape[0])
+    acc = 100.0 * correct / max(1, total)
+    print(f"{name} (artifact) on {dataset} test split: "
+          f"acc {acc:.2f}% over {total} samples")
+    return {"accuracy": acc, "samples": total}
 
 
 def main(argv=None):
@@ -58,6 +125,12 @@ def main(argv=None):
     from efficient_rpe_vit_tpu.models import create_model
     from efficient_rpe_vit_tpu.train import create_train_state
     from efficient_rpe_vit_tpu.train.checkpoint import load_checkpoint
+
+    if (args.checkpoint is None) == (args.artifact is None):
+        raise SystemExit("exactly one of --checkpoint / --artifact required")
+
+    if args.artifact:
+        return _predict_from_artifact(args)
 
     meta_path = args.checkpoint + ".meta.json"
     meta = {}

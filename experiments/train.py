@@ -73,6 +73,9 @@ def parse_args(argv=None):
                         "combine with --cpu if unsure")
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--label-smoothing", type=float, default=0.0,
+                   metavar="S", help="uniform label smoothing on the "
+                                     "training loss (eval stays unsmoothed)")
     p.add_argument("--ema-decay", type=float, default=0.0, metavar="D",
                    help="track a Polyak/EMA shadow of the params (e.g. "
                         "0.999) and evaluate/checkpoint with it")
@@ -283,8 +286,9 @@ def main(argv=None, shared=None):
 
         from efficient_rpe_vit_tpu.parallel import make_parallel_train_step
 
-        train_step = make_parallel_train_step(model, mesh, state_specs,
-                                              donate=True)
+        train_step = make_parallel_train_step(
+            model, mesh, state_specs, donate=True,
+            label_smoothing=args.label_smoothing)
         _eval_inner = make_eval_step(model)
         _n_data = mesh.shape.get("data", 1)
 
@@ -298,7 +302,8 @@ def main(argv=None, shared=None):
     else:
         # donate=True: each step consumes the previous state's buffers
         train_step = make_train_step(model, donate=True,
-                                     grad_accum=args.grad_accum)
+                                     grad_accum=args.grad_accum,
+                                     label_smoothing=args.label_smoothing)
         eval_step = make_eval_step(model)
         if shared is not None:
             shared["train_step"] = train_step

@@ -135,3 +135,49 @@ def test_export_bf16_weights(tmp_path):
                           (4, m.image_size, m.image_size, m.in_channels))
     l32, l16 = np.asarray(fn32(x)), np.asarray(fn16(x))
     np.testing.assert_allclose(l16, l32, atol=5e-2)
+
+
+def test_predict_cli_from_artifact(tmp_path, rng):
+    """predict.py serves an exported artifact: npy classification and a
+    test-split evaluation, using only the sidecar for preprocessing."""
+    from efficient_rpe_vit_tpu.train import create_train_state
+    from efficient_rpe_vit_tpu.train.checkpoint import save_checkpoint
+    from experiments.export import main as export_main
+    from experiments.predict import main as predict_main
+
+    cfg = mnist_config()
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    ckpt = str(tmp_path / "ck.msgpack")
+    save_checkpoint(ckpt, state, epoch=0,
+                    metadata={"model_name": "baseline", "dataset": "mnist"})
+    art = str(tmp_path / "model.hlo")
+    export_main(["--checkpoint", ckpt, "--out", art, "--cpu"])
+
+    x = (np.random.default_rng(0).integers(0, 255, (4, 28, 28))
+         .astype(np.uint8))
+    np.save(tmp_path / "digits.npy", x)
+    out = str(tmp_path / "preds.json")
+    preds = predict_main([
+        "--artifact", art, "--input", str(tmp_path / "digits.npy"),
+        "--output", out, "--cpu",
+    ])
+    assert preds.shape == (4,)
+    data = json.load(open(out))
+    assert len(data["predictions"]) == 4
+
+    # artifact predictions == checkpoint predictions
+    preds_ck = predict_main([
+        "--checkpoint", ckpt, "--input", str(tmp_path / "digits.npy"),
+        "--cpu",
+    ])
+    np.testing.assert_array_equal(preds, preds_ck)
+
+    # split evaluation runs from the artifact alone
+    result = predict_main(["--artifact", art, "--cpu"])
+    assert result["samples"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="exactly one"):
+        predict_main(["--cpu"])

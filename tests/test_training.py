@@ -549,3 +549,36 @@ def test_ema_checkpoint_roundtrip(rng, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
                     jax.tree_util.tree_leaves(restored.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_label_smoothing_loss():
+    """Smoothed CE equals the mixture definition and reduces confidence
+    reward: for a one-hot-ish prediction the smoothed loss is larger."""
+    from efficient_rpe_vit_tpu.train.training import cross_entropy_loss
+
+    logits = jnp.array([[8.0, 0.0, 0.0], [0.0, 8.0, 0.0]])
+    labels = jnp.array([0, 1])
+    plain = float(cross_entropy_loss(logits, labels))
+    s = 0.1
+    smoothed = float(cross_entropy_loss(logits, labels, label_smoothing=s))
+    # manual mixture
+    logp = jax.nn.log_softmax(logits)
+    on = np.asarray(jnp.take_along_axis(logp, labels[:, None], 1))[:, 0]
+    manual = -np.mean((1 - s) * on + (s / 3) * np.asarray(logp).sum(-1))
+    assert smoothed == pytest.approx(manual, rel=1e-6)
+    assert smoothed > plain
+
+
+def test_label_smoothing_in_train_step(rng):
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    y = jnp.arange(8) % 10
+    _, l0, _ = make_train_step(model)(state, x, y, rng)
+    _, ls, _ = make_train_step(model, label_smoothing=0.1)(state, x, y, rng)
+    assert float(l0) != float(ls)
+    # accumulated path uses the same smoothed loss
+    _, ls4, _ = make_train_step(model, grad_accum=4,
+                                label_smoothing=0.1)(state, x, y, rng)
+    assert float(ls4) == pytest.approx(float(ls), abs=1e-5)
