@@ -146,8 +146,10 @@ def main(argv=None):
     model = create_model(model_name, cfg)
     m = cfg.model
     sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
-    state = create_train_state(model, cfg, jax.random.PRNGKey(0), sample)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), sample,
+                               ema_decay=float(meta.get("ema_decay", 0.0)))
     state, _ = load_checkpoint(args.checkpoint, state)
+    state = state.eval_view()  # serve the EMA shadow when tracked
 
     variables = {"params": state.params}
     if state.constants is not None:

@@ -368,7 +368,10 @@ def main(argv=None, shared=None):
                     metadata={"model_name": args.model,
                               "dataset": args.dataset,
                               "attention_type": model.attention_type,
-                              "rpe_type": model.rpe_type},
+                              "rpe_type": model.rpe_type,
+                              # consumers (predict/export) rebuild the
+                              # template with EMA and serve the shadow
+                              "ema_decay": args.ema_decay},
                 )
     total_train_time = time.perf_counter() - t_train0
 

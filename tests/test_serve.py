@@ -181,3 +181,52 @@ def test_predict_cli_from_artifact(tmp_path, rng):
 
     with _pytest.raises(SystemExit, match="exactly one"):
         predict_main(["--cpu"])
+
+
+def test_export_and_predict_serve_ema_shadow(tmp_path, rng):
+    """A checkpoint trained with --ema-decay records it in metadata; both
+    predict.py and export.py rebuild the EMA template and serve the
+    SHADOW, not the live params."""
+    from efficient_rpe_vit_tpu.train import create_train_state, make_train_step
+    from efficient_rpe_vit_tpu.train.checkpoint import save_checkpoint
+    from experiments.export import main as export_main
+    from experiments.predict import main as predict_main
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)),
+                               ema_decay=0.9)
+    step = make_train_step(model)
+    for i in range(3):
+        state, _, _ = step(state, jax.random.normal(rng, (8, 28, 28, 1)),
+                           jnp.arange(8) % 10, jax.random.fold_in(rng, i))
+    ckpt = str(tmp_path / "ck.msgpack")
+    save_checkpoint(ckpt, state, epoch=0,
+                    metadata={"model_name": "baseline", "dataset": "mnist",
+                              "ema_decay": 0.9})
+
+    x = (np.random.default_rng(0).integers(0, 255, (6, 28, 28))
+         .astype(np.uint8))
+    np.save(tmp_path / "digits.npy", x)
+
+    preds = predict_main(["--checkpoint", ckpt, "--input",
+                          str(tmp_path / "digits.npy"), "--cpu"])
+
+    art = str(tmp_path / "model.hlo")
+    export_main(["--checkpoint", ckpt, "--out", art, "--cpu"])
+    preds_art = predict_main(["--artifact", art, "--input",
+                              str(tmp_path / "digits.npy"), "--cpu"])
+    np.testing.assert_array_equal(preds, preds_art)
+
+    # and the served logits really are the shadow's, not the live params'
+    from efficient_rpe_vit_tpu.serve import load_exported
+
+    fn, _ = load_exported(art)
+    xn = (np.asarray(x, np.float32)[..., None] / 255.0 - 0.1307) / 0.3081
+    got = np.asarray(fn(jnp.asarray(xn)))
+    ema_logits = np.asarray(model.apply(
+        {"params": state.ema_params}, jnp.asarray(xn), deterministic=True))
+    live_logits = np.asarray(model.apply(
+        {"params": state.params}, jnp.asarray(xn), deterministic=True))
+    np.testing.assert_allclose(got, ema_logits, atol=2e-5)
+    assert np.abs(got - live_logits).max() > 1e-4
