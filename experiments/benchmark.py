@@ -52,6 +52,8 @@ def parse_args(argv=None):
                    help="forwarded to train.py --grad-accum")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="forwarded to train.py --ema-decay")
+    p.add_argument("--label-smoothing", type=float, default=None,
+                   help="forwarded to train.py --label-smoothing")
     p.add_argument("--remat", action="store_true", default=None,
                    help="forwarded to train.py --remat")
     p.add_argument("--output-dir", type=str, default=None,
@@ -108,6 +110,8 @@ def run_single_training(model: str, seed: int, run_dir: str, args,
         cli += ["--grad-accum", str(args.grad_accum)]
     if args.ema_decay is not None:
         cli += ["--ema-decay", str(args.ema_decay)]
+    if args.label_smoothing is not None:
+        cli += ["--label-smoothing", str(args.label_smoothing)]
     if args.remat:
         cli += ["--remat"]
 
@@ -160,7 +164,7 @@ def main(argv=None):
         "mlp_type": args.mlp_type, "num_experts": args.num_experts,
         "num_features": args.num_features,
         "grad_accum": args.grad_accum, "ema_decay": args.ema_decay,
-        "remat": args.remat,
+        "label_smoothing": args.label_smoothing, "remat": args.remat,
         "timestamp": datetime.now().isoformat(),
     })
     print(f"Benchmark -> {out_dir} (models={args.models}, seeds={seeds})")
