@@ -164,3 +164,26 @@ def load_checkpoint_orbax(path: str, state) -> Tuple[Any, Dict[str, Any]]:
         with open(meta_path) as f:
             meta = json.load(f)
     return new_state, meta
+
+
+def model_kwargs_from_metadata(meta: Dict[str, Any]) -> Dict[str, Any]:
+    """create_model kwargs recorded in a checkpoint's metadata sidecar.
+
+    Checkpoints written by `train.py --save-model` record the
+    architecture knobs that the variant name alone does not carry
+    (MoE MLPs, custom feature counts), so consumers (predict.py,
+    export.py) can rebuild the exact module tree the params were trained
+    in — a mismatched template fails serialization loudly otherwise.
+    """
+    kwargs: Dict[str, Any] = {}
+    if meta.get("mlp_type") == "moe":
+        kwargs["mlp_config"] = {
+            "mlp_type": "moe",
+            "num_experts": int(meta.get("num_experts") or 4),
+        }
+    nf = meta.get("num_features")
+    if nf is not None:
+        kwargs["attention_config"] = {
+            "num_features": nf if nf == "mxu" else int(nf)
+        }
+    return kwargs

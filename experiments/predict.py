@@ -142,12 +142,16 @@ def main(argv=None):
     if model_name is None:
         raise SystemExit("--model required (checkpoint has no metadata)")
 
+    from efficient_rpe_vit_tpu.train.checkpoint import (
+        model_kwargs_from_metadata,
+    )
+
     cfg = mnist_config() if dataset == "mnist" else cifar10_config()
-    model = create_model(model_name, cfg)
+    model = create_model(model_name, cfg, **model_kwargs_from_metadata(meta))
     m = cfg.model
     sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), sample,
-                               ema_decay=float(meta.get("ema_decay", 0.0)))
+                               ema_decay=float(meta.get("ema_decay") or 0.0))
     state, _ = load_checkpoint(args.checkpoint, state)
     state = state.eval_view()  # serve the EMA shadow when tracked
 

@@ -369,8 +369,15 @@ def main(argv=None, shared=None):
                               "dataset": args.dataset,
                               "attention_type": model.attention_type,
                               "rpe_type": model.rpe_type,
-                              # consumers (predict/export) rebuild the
-                              # template with EMA and serve the shadow
+                              # everything consumers (predict/export/
+                              # resume-elsewhere) need to rebuild the SAME
+                              # architecture: MoE shape, feature count,
+                              # and the EMA template
+                              "mlp_type": args.mlp_type,
+                              "num_experts": (args.num_experts
+                                              if args.mlp_type == "moe"
+                                              else None),
+                              "num_features": args.num_features,
                               "ema_decay": args.ema_decay},
                 )
     total_train_time = time.perf_counter() - t_train0

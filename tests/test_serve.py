@@ -10,6 +10,7 @@ a torch state_dict that needs the whole Python class tree to reload
 """
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -230,3 +231,38 @@ def test_export_and_predict_serve_ema_shadow(tmp_path, rng):
         {"params": state.params}, jnp.asarray(xn), deterministic=True))
     np.testing.assert_allclose(got, ema_logits, atol=2e-5)
     assert np.abs(got - live_logits).max() > 1e-4
+
+
+def test_export_rebuilds_moe_and_num_features(tmp_path):
+    """Checkpoints record MoE shape and feature count; export rebuilds the
+    exact architecture (a mismatched template fails loudly otherwise)."""
+    import runpy  # noqa: F401  (train CLI invoked in-process below)
+
+    from experiments.export import main as export_main
+    from experiments.predict import main as predict_main
+    from experiments.train import main as train_main
+
+    out = str(tmp_path)
+    train_main([
+        "--model", "performer_favor", "--dataset", "mnist", "--epochs", "1",
+        "--mlp-type", "moe", "--num-experts", "2", "--num-features", "32",
+        "--batch-size", "64", "--cpu", "--quiet", "--output-dir", out,
+        "--save-model",
+    ])
+    ckpt = os.path.join(out, "performer_favor_mnist_best.msgpack")
+    assert os.path.exists(ckpt)
+    meta = json.load(open(ckpt + ".meta.json"))["metadata"]
+    assert meta["mlp_type"] == "moe" and meta["num_experts"] == 2
+    assert meta["num_features"] == "32"
+
+    art = os.path.join(out, "model.hlo")
+    export_main(["--checkpoint", ckpt, "--out", art, "--validate", "--cpu"])
+
+    x = (np.random.default_rng(0).integers(0, 255, (4, 28, 28))
+         .astype(np.uint8))
+    np.save(tmp_path / "digits.npy", x)
+    preds_ck = predict_main(["--checkpoint", ckpt, "--input",
+                             str(tmp_path / "digits.npy"), "--cpu"])
+    preds_art = predict_main(["--artifact", art, "--input",
+                              str(tmp_path / "digits.npy"), "--cpu"])
+    np.testing.assert_array_equal(preds_ck, preds_art)
