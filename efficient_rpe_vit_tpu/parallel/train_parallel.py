@@ -123,13 +123,22 @@ def create_sharded_train_state(
 
 def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
                              donate: bool = True,
-                             label_smoothing: float = 0.0) -> Callable:
+                             label_smoothing: float = 0.0,
+                             grad_accum: int = 1) -> Callable:
     """Build the sharded jitted train step.
 
     Signature: (state, images [B_global, H, W, C], labels [B_global],
     dropout_key) -> (state, loss, correct). B_global must divide by the
     'data' axis size.
+
+    `grad_accum` > 1 composes microbatch accumulation with the mesh: the
+    global batch reshapes to [A, B/A, ...] and a lax.scan runs each
+    microbatch — still sharded over 'data' — accumulating the mean
+    gradient before ONE optimizer update. Per-device activation memory
+    scales with B/(A * n_data).
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     data_sharding = NamedSharding(mesh, batch_spec())
     repl = NamedSharding(mesh, P())
 
@@ -163,36 +172,76 @@ def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
         # collection means mutable constants + a 'features' rng are needed
         redraw_mode = state.mutable_state is not None
 
-        def loss_fn(params):
+        def micro_loss(params, constants, mstate, x, y, key):
             variables = {"params": params}
-            if state.constants is not None:
-                variables["constants"] = state.constants
-            rngs = {"dropout": dropout_key}
-            if redraw_mode:
-                variables["state"] = state.mutable_state
-                rngs["features"] = jax.random.fold_in(dropout_key, 1)
+            if constants is not None:
+                variables["constants"] = constants
+            rngs = {"dropout": key}
+            if mstate is not None:
+                variables["state"] = mstate
+                rngs["features"] = jax.random.fold_in(key, 1)
                 logits, updates = model.apply(
-                    variables, images, deterministic=False, rngs=rngs,
+                    variables, x, deterministic=False, rngs=rngs,
                     mutable=["constants", "state"],
                 )
             else:
                 logits = model.apply(
-                    variables, images, deterministic=False, rngs=rngs,
+                    variables, x, deterministic=False, rngs=rngs,
                 )
                 updates = None
-            return (cross_entropy_loss(logits, labels, label_smoothing),
-                    (logits, updates))
+            loss = cross_entropy_loss(logits, y, label_smoothing)
+            correct = jnp.sum(jnp.argmax(logits, -1) == y)
+            return loss, (correct, updates)
 
-        (loss, (logits, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+        if grad_accum > 1:
+            b = images.shape[0]
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch {b} not divisible by grad_accum {grad_accum}")
+            mb = b // grad_accum
+            xs = (
+                images.reshape(grad_accum, mb, *images.shape[1:]),
+                labels.reshape(grad_accum, mb),
+                jnp.arange(grad_accum),
+            )
+
+            def body(carry, inp):
+                gsum, lsum, csum, constants, mstate = carry
+                x, y, i = inp
+                key = jax.random.fold_in(dropout_key, i)
+                (loss, (correct, updates)), grads = grad_fn(
+                    state.params, constants, mstate, x, y, key)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                if updates is not None:
+                    constants = updates.get("constants", constants)
+                    mstate = updates.get("state", mstate)
+                return (gsum, lsum + loss, csum + correct, constants,
+                        mstate), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            init = (zeros, jnp.zeros((), jnp.float32),
+                    jnp.zeros((), jnp.int32), state.constants,
+                    state.mutable_state)
+            (gsum, lsum, correct, constants, mstate), _ = jax.lax.scan(
+                body, init, xs)
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            new_state = state.apply_gradients(grads)
+            if redraw_mode:
+                new_state = new_state.replace(
+                    constants=constants, mutable_state=mstate)
+            return new_state, lsum / grad_accum, correct
+
+        (loss, (correct, updates)), grads = grad_fn(
+            state.params, state.constants, state.mutable_state,
+            images, labels, dropout_key)
         new_state = state.apply_gradients(grads)
         if redraw_mode:
             new_state = new_state.replace(
                 constants=updates.get("constants", new_state.constants),
                 mutable_state=updates.get("state", new_state.mutable_state),
             )
-        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return new_state, loss, correct
 
     return jax.jit(

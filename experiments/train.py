@@ -222,13 +222,6 @@ def main(argv=None, shared=None):
         nf = (args.num_features if args.num_features == "mxu"
               else int(args.num_features))
         attention_config = {"num_features": nf}
-    if args.grad_accum > 1 and args.mesh:
-        raise SystemExit(
-            "--grad-accum composes with the single-device step only for "
-            "now; on a mesh, scale the global batch over 'data' instead "
-            "(the sharded step already keeps per-device activations at "
-            "batch/n_data)."
-        )
     if args.mesh:
         mesh = _build_mesh(args.mesh)
         if "seq" in mesh.axis_names:
@@ -288,7 +281,8 @@ def main(argv=None, shared=None):
 
         train_step = make_parallel_train_step(
             model, mesh, state_specs, donate=True,
-            label_smoothing=args.label_smoothing)
+            label_smoothing=args.label_smoothing,
+            grad_accum=args.grad_accum)
         _eval_inner = make_eval_step(model)
         _n_data = mesh.shape.get("data", 1)
 

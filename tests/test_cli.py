@@ -330,14 +330,13 @@ def test_train_cli_grad_accum(tmp_path):
     ])
     assert metrics["aggregate"]["final_test_accuracy"] > 0
 
-    import pytest as _pytest
-
-    with _pytest.raises(SystemExit, match="grad-accum"):
-        train_main([
-            "--model", "baseline", "--dataset", "mnist", "--epochs", "1",
-            "--grad-accum", "2", "--mesh", "data=8", "--cpu", "--quiet",
-            "--output-dir", str(tmp_path),
-        ])
+    # DP x grad-accum composition on an 8-device mesh
+    metrics = train_main([
+        "--model", "baseline", "--dataset", "mnist", "--epochs", "1",
+        "--grad-accum", "2", "--mesh", "data=8", "--batch-size", "64",
+        "--cpu", "--quiet", "--output-dir", str(tmp_path),
+    ])
+    assert metrics["aggregate"]["final_test_accuracy"] > 0
 
 
 def test_train_cli_ema(tmp_path):

@@ -464,3 +464,36 @@ def test_sharded_state_tracks_ema():
                     jax.tree_util.tree_leaves(new_state.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_parallel_grad_accum_matches_plain():
+    """DP x microbatch accumulation: the sharded accumulated step produces
+    the same update as the sharded unaccumulated step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.parallel import (
+        create_sharded_train_state,
+        make_parallel_train_step,
+    )
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor", cfg)
+    rng = jax.random.PRNGKey(0)
+    mesh = make_mesh()  # 8-way DP
+    state, specs = create_sharded_train_state(
+        model, cfg, rng, jnp.zeros((2, 28, 28, 1)), mesh, steps_per_epoch=10)
+    x = jax.random.normal(rng, (16, 28, 28, 1))
+    y = jnp.arange(16) % 10
+    s1, l1, c1 = make_parallel_train_step(model, mesh, specs,
+                                          donate=False)(state, x, y, rng)
+    s2, l2, c2 = make_parallel_train_step(
+        model, mesh, specs, donate=False, grad_accum=2)(state, x, y, rng)
+    assert float(l1) == pytest.approx(float(l2), abs=1e-5)
+    assert int(c1) == int(c2)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
