@@ -155,3 +155,31 @@ def test_toeplitz_diag_sums_matches_gather_vjp(rng):
         got = toeplitz_diag_sums(dT)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 8, 9, 16, 17, 31])
+def test_toeplitz_from_coeffs_group_boundaries(rng, n):
+    """The grouped-window gather (G=8 rows per dynamic slice) must equal
+    naive indexing at every n around the group boundaries."""
+    from efficient_rpe_vit_tpu.ops.fft_toeplitz import toeplitz_from_coeffs
+
+    c = jax.random.normal(rng, (3, 2 * n - 1))
+    T = np.asarray(toeplitz_from_coeffs(c, n))
+    idx = (np.arange(n)[None, :] - np.arange(n)[:, None]) + (n - 1)
+    np.testing.assert_allclose(T, np.asarray(c)[:, idx], rtol=1e-6)
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 8, 9, 17, 64, 65])
+def test_toeplitz_diag_sums_group_boundaries(rng, n):
+    """Hierarchical diagonal sums == dense per-diagonal sums at ns that
+    exercise front-padding in every reduction level."""
+    from efficient_rpe_vit_tpu.ops.fft_toeplitz import toeplitz_diag_sums
+
+    x = jax.random.normal(rng, (2, n, n))
+    got = np.asarray(toeplitz_diag_sums(x))
+    xs = np.asarray(x)
+    want = np.zeros((2, 2 * n - 1))
+    for i in range(n):
+        for j in range(n):
+            want[:, (j - i) + n - 1] += xs[:, i, j]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
