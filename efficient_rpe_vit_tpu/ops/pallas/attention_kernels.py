@@ -66,17 +66,6 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pad_len(n: int, block_q: int, block_kv: int) -> int:
-    """Sequence padding target: the LCM of the two block sizes, so BOTH
-    tile counts cover the whole padded sequence. Rounding to
-    max(block_q, block_kv) silently truncated the smaller block's tiling
-    when the sizes were unequal (review finding)."""
-    import math
-
-    lcm = block_q * block_kv // math.gcd(block_q, block_kv)
-    return _round_up(n, lcm)
-
-
 def flash_default_blocks(n: int) -> tuple:
     """(block_q, block_kv) policy for the flash kernels.
 
@@ -212,7 +201,7 @@ def fused_masked_linear_attention(q_prime, k_prime, v, T,
         v: [B, H, N, D].
         T: [H, N, N] positive Toeplitz matrix (exp of KERPLE biases).
         block_q, block_kv: tile sizes (multiples of 128); None picks
-            flash_default_blocks(N).
+            masked_linear_default_blocks(N).
         interpret: run in Pallas interpret mode (CPU tests).
     Returns:
         [B, H, N, D].

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..train.training import TrainState, cross_entropy_loss, create_train_state
+from ..train.training import (
+    TrainState,
+    create_train_state,
+    make_micro_loss,
+)
 from .mesh import batch_spec, make_param_specs, shard_pytree
 
 
@@ -167,33 +171,13 @@ def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
         ema_decay=specs.ema_decay,
     )
 
+    # the shared loss closure keeps redraw/rng/smoothing semantics
+    # identical to the single-device steps (training.py::make_micro_loss)
+    grad_fn = jax.value_and_grad(
+        make_micro_loss(model, label_smoothing), has_aux=True)
+
     def step_fn(state: TrainState, images, labels, dropout_key):
-        # mirror make_train_step's feature-redraw handling: a 'state'
-        # collection means mutable constants + a 'features' rng are needed
         redraw_mode = state.mutable_state is not None
-
-        def micro_loss(params, constants, mstate, x, y, key):
-            variables = {"params": params}
-            if constants is not None:
-                variables["constants"] = constants
-            rngs = {"dropout": key}
-            if mstate is not None:
-                variables["state"] = mstate
-                rngs["features"] = jax.random.fold_in(key, 1)
-                logits, updates = model.apply(
-                    variables, x, deterministic=False, rngs=rngs,
-                    mutable=["constants", "state"],
-                )
-            else:
-                logits = model.apply(
-                    variables, x, deterministic=False, rngs=rngs,
-                )
-                updates = None
-            loss = cross_entropy_loss(logits, y, label_smoothing)
-            correct = jnp.sum(jnp.argmax(logits, -1) == y)
-            return loss, (correct, updates)
-
-        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
         if grad_accum > 1:
             b = images.shape[0]

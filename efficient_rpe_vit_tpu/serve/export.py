@@ -29,8 +29,6 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
-# Calling-convention floor: symbolic shapes need >= 9 (jax documents the
-# versions); leave jax's default alone otherwise.
 _EXPORT_SUFFIX = ".meta.json"
 
 

@@ -67,7 +67,20 @@ def load_checkpoint(path: str, state) -> Tuple[Any, Dict[str, Any]]:
     has_ema = getattr(state, "ema_params", None) is not None
     if has_ema:
         template["ema_params"] = state.ema_params
-    restored = serialization.from_bytes(template, raw)
+    try:
+        restored = serialization.from_bytes(template, raw)
+    except ValueError:
+        if not has_ema:
+            raise
+        # pre-EMA checkpoint loaded into an EMA-enabled state: restore
+        # without the key and initialise the shadow from the restored
+        # params (the EMA of a freshly-resumed run starts at the params)
+        template.pop("ema_params")
+        restored = serialization.from_bytes(template, raw)
+        restored["ema_params"] = jax.tree_util.tree_map(
+            lambda a: a.copy() if hasattr(a, "copy") else a,
+            restored["params"],
+        )
     new_state = state.replace(
         step=restored["step"],
         params=restored["params"],
@@ -147,7 +160,21 @@ def load_checkpoint_orbax(path: str, state) -> Tuple[Any, Dict[str, Any]]:
     if has_ema:
         template["ema_params"] = state.ema_params
     with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
-        restored = ckptr.restore(path, ocp.args.StandardRestore(template))
+        try:
+            restored = ckptr.restore(path,
+                                     ocp.args.StandardRestore(template))
+        except (ValueError, KeyError):
+            if not has_ema:
+                raise
+            # pre-EMA checkpoint into an EMA-enabled state (see
+            # load_checkpoint): restore without the key, shadow := params
+            template.pop("ema_params")
+            restored = ckptr.restore(path,
+                                     ocp.args.StandardRestore(template))
+            restored["ema_params"] = jax.tree_util.tree_map(
+                lambda a: a.copy() if hasattr(a, "copy") else a,
+                restored["params"],
+            )
     new_state = state.replace(
         step=restored["step"],
         params=restored["params"],

@@ -175,6 +175,42 @@ def cross_entropy_loss(logits, labels, label_smoothing: float = 0.0):
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
 
 
+def make_micro_loss(model, label_smoothing: float = 0.0) -> Callable:
+    """The ONE loss closure every train-step builder shares.
+
+    Signature: (params, constants, mstate, x, y, key) ->
+    (loss, (correct, updates)). A 'state' collection (mstate not None)
+    means the module keeps mutable training-time state (FAVOR+ redraw
+    counters): the apply then threads a 'features' rng and returns the
+    updated collections. Used by the plain, gradient-accumulation, and
+    sharded steps (training.py / parallel/train_parallel.py) so the
+    redraw / rng / smoothing semantics cannot drift between them.
+    """
+
+    def micro_loss(params, constants, mstate, x, y, key):
+        variables = {"params": params}
+        if constants is not None:
+            variables["constants"] = constants
+        rngs = {"dropout": key}
+        if mstate is not None:
+            variables["state"] = mstate
+            rngs["features"] = jax.random.fold_in(key, 1)
+            logits, updates = model.apply(
+                variables, x, deterministic=False, rngs=rngs,
+                mutable=["constants", "state"],
+            )
+        else:
+            logits = model.apply(
+                variables, x, deterministic=False, rngs=rngs,
+            )
+            updates = None
+        loss = cross_entropy_loss(logits, y, label_smoothing)
+        correct = jnp.sum(jnp.argmax(logits, -1) == y)
+        return loss, (correct, updates)
+
+    return micro_loss
+
+
 def make_train_step(model, donate: bool = False,
                     grad_accum: int = 1,
                     label_smoothing: float = 0.0) -> Callable:
@@ -198,44 +234,21 @@ def make_train_step(model, donate: bool = False,
         return _make_accum_train_step(model, donate, grad_accum,
                                       label_smoothing)
 
+    micro_loss = make_micro_loss(model, label_smoothing)
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, images, labels, dropout_key):
-        # A 'state' collection exists only when a module keeps mutable
-        # training-time state (e.g. FAVOR+ feature-redraw counters); in
-        # that mode the apply also threads a 'features' rng and returns
-        # updated collections.
         redraw_mode = state.mutable_state is not None
-
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.constants is not None:
-                variables["constants"] = state.constants
-            rngs = {"dropout": dropout_key}
-            if redraw_mode:
-                variables["state"] = state.mutable_state
-                rngs["features"] = jax.random.fold_in(dropout_key, 1)
-                logits, updates = model.apply(
-                    variables, images, deterministic=False, rngs=rngs,
-                    mutable=["constants", "state"],
-                )
-            else:
-                logits = model.apply(
-                    variables, images, deterministic=False, rngs=rngs,
-                )
-                updates = None
-            loss = cross_entropy_loss(logits, labels, label_smoothing)
-            return loss, (logits, updates)
-
-        (loss, (logits, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        (loss, (correct, updates)), grads = grad_fn(
+            state.params, state.constants, state.mutable_state,
+            images, labels, dropout_key)
         new_state = state.apply_gradients(grads)
         if redraw_mode:
             new_state = new_state.replace(
                 constants=updates.get("constants", new_state.constants),
                 mutable_state=updates.get("state", new_state.mutable_state),
             )
-        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return new_state, loss, correct
 
     return train_step
@@ -266,29 +279,8 @@ def _make_accum_train_step(model, donate: bool, grad_accum: int,
             jnp.arange(grad_accum),
         )
         redraw_mode = state.mutable_state is not None
-
-        def micro_loss(params, constants, mstate, x, y, key):
-            variables = {"params": params}
-            if constants is not None:
-                variables["constants"] = constants
-            rngs = {"dropout": key}
-            if mstate is not None:
-                variables["state"] = mstate
-                rngs["features"] = jax.random.fold_in(key, 1)
-                logits, updates = model.apply(
-                    variables, x, deterministic=False, rngs=rngs,
-                    mutable=["constants", "state"],
-                )
-            else:
-                logits = model.apply(
-                    variables, x, deterministic=False, rngs=rngs,
-                )
-                updates = None
-            loss = cross_entropy_loss(logits, y, label_smoothing)
-            correct = jnp.sum(jnp.argmax(logits, -1) == y)
-            return loss, (correct, updates)
-
-        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+        grad_fn = jax.value_and_grad(
+            make_micro_loss(model, label_smoothing), has_aux=True)
 
         def body(carry, inp):
             gsum, lsum, csum, constants, mstate = carry

@@ -48,6 +48,45 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _normalise(x, mean, std):
+    x = np.asarray(x, np.float32)
+    if x.max() > 1.5:  # raw 0-255 input
+        x = x / 255.0
+    return (x - mean) / std
+
+
+def _load_input_npy(path, in_channels):
+    """[N, H, W, C] from a .npy of flattened / [N,H,W] / [N,H,W,C] images
+    (square images assumed for the flattened form, like the reference's
+    MNIST exports)."""
+    x = np.load(path)
+    if x.ndim == 2:  # single flattened image or [N, H*W*C]
+        side = int(np.sqrt(x.shape[-1] / in_channels))
+        x = x.reshape(-1, side, side, in_channels)
+    elif x.ndim == 3:  # [N, H, W] grayscale
+        x = x[..., None]
+    return x
+
+
+def _classify_and_emit(run_batch, x, batch_size, name, output):
+    """Batch-loop `run_batch` over x, argmax, and write/print preds."""
+    preds = []
+    for i in range(0, len(x), batch_size):
+        logits = run_batch(x[i:i + batch_size])
+        preds.append(np.argmax(np.asarray(logits), -1))
+    preds = np.concatenate(preds)
+    if output:
+        if output.endswith(".npy"):
+            np.save(output, preds)
+        else:
+            with open(output, "w") as f:
+                json.dump({"model": name, "predictions": preds.tolist()}, f)
+        print(f"{len(preds)} predictions written to {output}")
+    else:
+        print(preds.tolist())
+    return preds
+
+
 def _predict_from_artifact(args):
     """Serve from an exported artifact: no model zoo, no config import —
     geometry and normalisation come from the artifact's sidecar."""
@@ -56,41 +95,24 @@ def _predict_from_artifact(args):
     from efficient_rpe_vit_tpu.serve import load_exported
 
     fn, meta = load_exported(args.artifact)
+    if "input_shape" not in meta:
+        raise SystemExit(
+            f"artifact sidecar {args.artifact}.meta.json is missing or "
+            "incomplete — it carries the input geometry and normalisation "
+            "stats; re-export with export.py or copy the sidecar next to "
+            "the artifact"
+        )
     md = meta.get("metadata", {})
     _, H, W, C = meta["input_shape"]
     mean = np.asarray(md.get("mean", [0.0]), np.float32)
     std = np.asarray(md.get("std", [1.0]), np.float32)
     name = md.get("model_name", "artifact")
 
-    def normalise(x):
-        x = np.asarray(x, np.float32)
-        if x.max() > 1.5:  # raw 0-255 input
-            x = x / 255.0
-        return (x - mean) / std
-
     if args.input:
-        x = np.load(args.input)
-        if x.ndim == 2:
-            x = x.reshape(-1, H, W, C)
-        elif x.ndim == 3:
-            x = x[..., None]
-        x = normalise(x)
-        preds = []
-        for i in range(0, len(x), args.batch_size):
-            logits = fn(jnp.asarray(x[i:i + args.batch_size]))
-            preds.append(np.argmax(np.asarray(logits), -1))
-        preds = np.concatenate(preds)
-        if args.output:
-            if args.output.endswith(".npy"):
-                np.save(args.output, preds)
-            else:
-                with open(args.output, "w") as f:
-                    json.dump({"model": name,
-                               "predictions": preds.tolist()}, f)
-            print(f"{len(preds)} predictions written to {args.output}")
-        else:
-            print(preds.tolist())
-        return preds
+        x = _normalise(_load_input_npy(args.input, C), mean, std)
+        return _classify_and_emit(
+            lambda xb: fn(jnp.asarray(xb)), x, args.batch_size, name,
+            args.output)
 
     # evaluate the dataset test split (dataset name from the sidecar)
     from efficient_rpe_vit_tpu.configs import cifar10_config, mnist_config
@@ -163,36 +185,12 @@ def main(argv=None):
     mean = np.asarray(cfg.data.mean, np.float32)
     std = np.asarray(cfg.data.std, np.float32)
 
-    def normalise(x):
-        x = np.asarray(x, np.float32)
-        if x.max() > 1.5:  # raw 0-255 input
-            x = x / 255.0
-        return (x - mean) / std
-
     if args.input:
-        x = np.load(args.input)
-        if x.ndim == 2:  # single flattened image or [N, H*W]
-            side = int(np.sqrt(x.shape[-1] / m.in_channels))
-            x = x.reshape(-1, side, side, m.in_channels)
-        elif x.ndim == 3:  # [N, H, W] grayscale
-            x = x[..., None]
-        x = normalise(x)
-        preds = []
-        for i in range(0, len(x), args.batch_size):
-            logits = fwd(variables, jnp.asarray(x[i:i + args.batch_size]))
-            preds.append(np.argmax(np.asarray(logits), -1))
-        preds = np.concatenate(preds)
-        if args.output:
-            if args.output.endswith(".npy"):
-                np.save(args.output, preds)
-            else:
-                with open(args.output, "w") as f:
-                    json.dump({"model": model_name,
-                               "predictions": preds.tolist()}, f)
-            print(f"{len(preds)} predictions written to {args.output}")
-        else:
-            print(preds.tolist())
-        return preds
+        x = _normalise(_load_input_npy(args.input, m.in_channels),
+                       mean, std)
+        return _classify_and_emit(
+            lambda xb: fwd(variables, jnp.asarray(xb)), x, args.batch_size,
+            model_name, args.output)
 
     # evaluate the dataset test split
     from efficient_rpe_vit_tpu.train.training import (

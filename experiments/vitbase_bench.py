@@ -127,6 +127,9 @@ def main():
     ap.add_argument("--steps-scale", type=float, default=1.0)
     ap.add_argument("--out", default="results/vitbase_bench_r3.json")
     ap.add_argument("--variants", nargs="+", default=VARIANTS)
+    ap.add_argument("--remat", action="store_true",
+                    help="activation-checkpoint each block (trade FLOPs "
+                         "for HBM at long N)")
     ap.add_argument("--shapes", nargs="+", default=None,
                     help="subset of shape labels, e.g. N=197 N=1025")
     args = ap.parse_args()
@@ -141,7 +144,8 @@ def main():
         steps = max(3, int(steps * args.steps_scale))
         for variant in args.variants:
             try:
-                r = bench_one(variant, image, patch, batch, steps)
+                r = bench_one(variant, image, patch, batch, steps,
+                              remat=args.remat)
             except Exception as e:
                 print(f"{label} {variant}: FAILED {type(e).__name__}: "
                       f"{str(e)[:300]}")

@@ -582,3 +582,24 @@ def test_label_smoothing_in_train_step(rng):
     _, ls4, _ = make_train_step(model, grad_accum=4,
                                 label_smoothing=0.1)(state, x, y, rng)
     assert float(ls4) == pytest.approx(float(ls), abs=1e-5)
+
+
+def test_ema_resume_from_pre_ema_checkpoint(rng, tmp_path):
+    """Enabling EMA on resume from a checkpoint saved WITHOUT EMA must
+    initialise the shadow from the restored params, not crash."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    state, _, _ = make_train_step(model)(
+        state, jax.random.normal(rng, (4, 28, 28, 1)), jnp.arange(4) % 10,
+        rng)
+    path = str(tmp_path / "pre_ema.msgpack")
+    save_checkpoint(path, state, epoch=0)
+
+    template = create_train_state(model, cfg, jax.random.PRNGKey(7),
+                                  jnp.zeros((2, 28, 28, 1)), ema_decay=0.99)
+    restored, _ = load_checkpoint(path, template)
+    assert restored.ema_params is not None
+    for p, e in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(restored.ema_params)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
