@@ -44,8 +44,56 @@ def parse_args(argv=None):
     p.add_argument("--output", default=None,
                    help="write predictions to .json or .npy")
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--attention-maps", default=None, metavar="PNG",
+                   help="render CLS->patch attention heatmaps (softmax "
+                        "variants; checkpoint mode) for up to 4 inputs to "
+                        "this PNG — the working version of the "
+                        "reference's get_attention_maps placeholder")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
+
+
+def _render_attention_maps(model, variables, x, out_png):
+    """Grid of CLS->patch attention per block (head-averaged), one row per
+    sample, overlaid on the input image."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = x[:4]
+    logits, maps = jax.jit(
+        lambda v, xb: model.apply(v, xb, deterministic=True,
+                                  return_attention=True)
+    )(variables, jnp.asarray(x))
+    n_blocks = len(maps)
+    B = x.shape[0]
+    side = int(np.sqrt(maps[0].shape[-1] - 1))
+    fig, axes = plt.subplots(B, n_blocks + 1,
+                             figsize=(1.6 * (n_blocks + 1), 1.6 * B),
+                             squeeze=False)
+    for b in range(B):
+        img = np.asarray(x[b])
+        axes[b][0].imshow(img.squeeze(), cmap="gray")
+        axes[b][0].set_title("input" if b == 0 else "", fontsize=8)
+        for blk in range(n_blocks):
+            # CLS row, averaged over heads, patches only -> [P] -> grid
+            cls_attn = np.asarray(maps[blk][b]).mean(0)[0, 1:]
+            axes[b][blk + 1].imshow(cls_attn.reshape(side, side),
+                                    cmap="viridis")
+            if b == 0:
+                axes[b][blk + 1].set_title(f"block {blk}", fontsize=8)
+    for ax in fig.axes:
+        ax.set_xticks([]), ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)
+    preds = np.argmax(np.asarray(logits), -1)
+    print(f"attention maps ({B} samples x {n_blocks} blocks) -> {out_png} "
+          f"(preds {preds.tolist()})")
+    return out_png
 
 
 def _normalise(x, mean, std):
@@ -184,6 +232,21 @@ def main(argv=None):
 
     mean = np.asarray(cfg.data.mean, np.float32)
     std = np.asarray(cfg.data.std, np.float32)
+
+    if args.attention_maps:
+        if model.attention_type != "softmax":
+            raise SystemExit(
+                "--attention-maps needs a softmax-attention variant "
+                "(linear attention never materialises the [N, N] weights)")
+        if args.input:
+            x = _normalise(_load_input_npy(args.input, m.in_channels),
+                           mean, std)
+        else:
+            _, test_ds = get_dataloaders(cfg)
+            x, _ = next(iter(test_ds))
+            x = np.asarray(x)
+        return _render_attention_maps(model, variables, x,
+                                      args.attention_maps)
 
     if args.input:
         x = _normalise(_load_input_npy(args.input, m.in_channels),

@@ -363,3 +363,42 @@ def test_benchmark_cli_forwards_grad_accum_and_ema(tmp_path):
     assert summary["baseline"]["num_runs"] == 1
     cfg = json.load(open(os.path.join(out, "benchmark_config.json")))
     assert cfg["grad_accum"] == 2 and cfg["ema_decay"] == 0.99
+
+
+def test_predict_cli_attention_maps(tmp_path, rng):
+    """--attention-maps renders a PNG from a softmax checkpoint and
+    refuses linear-attention variants loudly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.train import create_train_state
+    from efficient_rpe_vit_tpu.train.checkpoint import save_checkpoint
+    from experiments.predict import main as predict_main
+
+    cfg = mnist_config()
+    for name in ("baseline", "performer_favor"):
+        model = create_model(name, cfg)
+        state = create_train_state(model, cfg, rng,
+                                   jnp.zeros((2, 28, 28, 1)))
+        ckpt = str(tmp_path / f"{name}.msgpack")
+        save_checkpoint(ckpt, state, epoch=0,
+                        metadata={"model_name": name, "dataset": "mnist"})
+
+    x = (np.random.default_rng(0).integers(0, 255, (2, 28, 28))
+         .astype(np.uint8))
+    np.save(tmp_path / "digits.npy", x)
+    png = str(tmp_path / "maps.png")
+    out = predict_main([
+        "--checkpoint", str(tmp_path / "baseline.msgpack"),
+        "--input", str(tmp_path / "digits.npy"),
+        "--attention-maps", png, "--cpu",
+    ])
+    assert out == png and os.path.getsize(png) > 1000
+
+    with pytest.raises(SystemExit, match="softmax"):
+        predict_main([
+            "--checkpoint", str(tmp_path / "performer_favor.msgpack"),
+            "--attention-maps", png, "--cpu",
+        ])
