@@ -73,6 +73,12 @@ def parse_args(argv=None):
                         "combine with --cpu if unsure")
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--checkpoint-backend", default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="msgpack: single portable file (host-gathered); "
+                        "orbax: sharding-aware directory (TPU-ecosystem "
+                        "standard — restores distributed states without "
+                        "a host gather)")
     p.add_argument("--label-smoothing", type=float, default=0.0,
                    metavar="S", help="uniform label smoothing on the "
                                      "training loss (eval stays unsmoothed)")
@@ -266,7 +272,14 @@ def main(argv=None, shared=None):
 
     start_epoch = 1
     if args.resume:
-        state, meta = load_checkpoint(args.resume, state)
+        if os.path.isdir(args.resume):  # orbax checkpoints are directories
+            from efficient_rpe_vit_tpu.train.checkpoint import (
+                load_checkpoint_orbax,
+            )
+
+            state, meta = load_checkpoint_orbax(args.resume, state)
+        else:
+            state, meta = load_checkpoint(args.resume, state)
         start_epoch = int(meta.get("epoch", 0)) + 1
         if not args.quiet:
             print(f"Resumed from {args.resume} at epoch {start_epoch}")
@@ -304,9 +317,20 @@ def main(argv=None, shared=None):
             shared["eval_step"] = eval_step
 
     os.makedirs(args.output_dir, exist_ok=True)
-    ckpt_path = os.path.join(
-        args.output_dir, f"{args.model}_{args.dataset}_best.msgpack"
-    )
+    if args.checkpoint_backend == "orbax":
+        from efficient_rpe_vit_tpu.train.checkpoint import (
+            load_checkpoint_orbax as load_ckpt,
+            save_checkpoint_orbax as save_ckpt,
+        )
+
+        ckpt_path = os.path.join(
+            args.output_dir, f"{args.model}_{args.dataset}_best_orbax"
+        )
+    else:
+        load_ckpt, save_ckpt = load_checkpoint, save_checkpoint
+        ckpt_path = os.path.join(
+            args.output_dir, f"{args.model}_{args.dataset}_best.msgpack"
+        )
 
     per_epoch = []
     best_acc = -1.0
@@ -356,7 +380,7 @@ def main(argv=None, shared=None):
         if em["accuracy"] > best_acc:
             best_acc = em["accuracy"]
             if args.save_model:
-                save_checkpoint(
+                save_ckpt(
                     ckpt_path, state, epoch,
                     metrics={"test_accuracy": em["accuracy"]},
                     metadata={"model_name": args.model,

@@ -402,3 +402,26 @@ def test_predict_cli_attention_maps(tmp_path, rng):
             "--checkpoint", str(tmp_path / "performer_favor.msgpack"),
             "--attention-maps", png, "--cpu",
         ])
+
+
+def test_train_cli_orbax_backend_and_resume(tmp_path):
+    """--checkpoint-backend orbax writes a sharding-aware directory that
+    --resume auto-detects (directory => orbax loader)."""
+    from experiments.train import main as train_main
+
+    out = str(tmp_path)
+    train_main([
+        "--model", "baseline", "--dataset", "mnist", "--epochs", "1",
+        "--batch-size", "64", "--cpu", "--quiet", "--output-dir", out,
+        "--save-model", "--checkpoint-backend", "orbax",
+    ])
+    ckpt = os.path.join(out, "baseline_mnist_best_orbax")
+    assert os.path.isdir(ckpt)
+
+    metrics = train_main([
+        "--model", "baseline", "--dataset", "mnist", "--epochs", "2",
+        "--batch-size", "64", "--cpu", "--quiet", "--output-dir", out,
+        "--resume", ckpt,
+    ])
+    # resumed at epoch 2: exactly one new epoch trained
+    assert [e["epoch"] for e in metrics["per_epoch"]] == [2]
