@@ -266,3 +266,27 @@ def test_export_rebuilds_moe_and_num_features(tmp_path):
     preds_art = predict_main(["--artifact", art, "--input",
                               str(tmp_path / "digits.npy"), "--cpu"])
     np.testing.assert_array_equal(preds_ck, preds_art)
+
+
+def test_export_roundtrip_cifar_config(tmp_path):
+    """3-channel, patch-8 CIFAR geometry exports and serves batch-
+    polymorphically too (the channel-ordering-sensitive path)."""
+    from efficient_rpe_vit_tpu.configs import cifar10_config
+
+    cfg = cifar10_config()
+    model = create_model("performer_favor_most_general", cfg)
+    m = cfg.model
+    x = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           deterministic=True)
+    path = str(tmp_path / "model.hlo")
+    save_exported(path, model, variables,
+                  image_size=m.image_size, in_channels=m.in_channels)
+    fn, _ = load_exported(path)
+    for batch in (2, 3):
+        xb = jax.random.normal(
+            jax.random.PRNGKey(batch),
+            (batch, m.image_size, m.image_size, m.in_channels))
+        ref = model.apply(variables, xb, deterministic=True)
+        np.testing.assert_allclose(np.asarray(fn(xb)), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
