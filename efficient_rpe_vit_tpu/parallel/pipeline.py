@@ -62,10 +62,39 @@ def stack_block_variables(variables, depth: int):
     return stacked, rest
 
 
-def pipeline_spec(stacked, axis: str = "pipe"):
-    """PartitionSpec tree: shard the leading stack axis over `axis`."""
+def pipeline_spec(stacked, axis: str = "pipe", mesh: Optional[Mesh] = None,
+                  model_axis: Optional[str] = None):
+    """PartitionSpec tree: shard the leading stack axis over `axis`.
+
+    With `mesh` and `model_axis`, each leaf additionally gets the
+    Megatron-style tensor-parallel dims from `make_param_specs` (computed
+    on the per-block shape, i.e. with the leading [depth] axis dropped,
+    then shifted right by one) — the spec a (pipe x model)-sharded stack
+    of block weights wants.
+    """
+    if (mesh is None or model_axis is None
+            or model_axis not in mesh.axis_names
+            or mesh.shape[model_axis] == 1):
+        return jax.tree_util.tree_map(
+            lambda x: P(axis, *([None] * (x.ndim - 1))), stacked
+        )
+    from .mesh import make_param_specs
+
+    class _ShapeView:
+        """Shape-only stand-in so make_param_specs' dim-divisibility
+        checks see the per-block shape, not the stacked one."""
+
+        def __init__(self, shape):
+            self.shape = shape
+
+    views = jax.tree_util.tree_map(
+        lambda x: _ShapeView(x.shape[1:]), stacked
+    )
+    block_specs = make_param_specs(views, mesh, model_axis)
     return jax.tree_util.tree_map(
-        lambda x: P(axis, *([None] * (x.ndim - 1))), stacked
+        lambda x, bs: P(axis, *bs, *([None] * (x.ndim - 1 - len(bs)))),
+        stacked, block_specs,
+        is_leaf=lambda t: hasattr(t, "shape"),
     )
 
 
@@ -78,6 +107,7 @@ def pipeline_blocks(
     axis: str = "pipe",
     n_microbatches: Optional[int] = None,
     data_axis: Optional[str] = "data",
+    model_axis: Optional[str] = "model",
 ):
     """Run a stack of transformer blocks as a GPipe pipeline.
 
@@ -86,6 +116,15 @@ def pipeline_blocks(
     mesh runs 2-way batch-parallel GPipe (each data row pipelines HALF the
     batch through its own stage ring) instead of every data row redundantly
     computing the full batch (VERDICT r2 weak #4).
+
+    Composes with tensor parallelism: when the mesh also has `model_axis`,
+    the shard_map stays MANUAL over the pipe/data axes but leaves
+    `model_axis` AUTO — inside each stage, XLA GSPMD shards the block
+    matmuls from the Megatron-style weight shardings (pipeline_spec's
+    make_param_specs dims) and inserts the TP collectives itself, exactly
+    as the non-pipelined `make_parallel_train_step` path does. A
+    (data=2, pipe=2, model=2) mesh therefore runs batch-parallel GPipe
+    with head/hidden-split stages: full 3D DP x PP x TP.
 
     Args:
         block_apply: (block_vars, rng, h) -> h for ONE block, where
@@ -141,9 +180,23 @@ def pipeline_blocks(
         is_last = idx == S - 1
         perm = [(i, (i + 1) % S) for i in range(S)]
 
+        if tp_block_specs is not None:
+            ctx_mesh = jax.sharding.get_abstract_mesh()
+            tp_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(ctx_mesh, s), tp_block_specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+        else:
+            tp_shardings = None
+
         def run_stage(h):
             def blk(h, sl):
                 v, r = sl
+                if tp_shardings is not None:
+                    v = jax.tree_util.tree_map(
+                        jax.lax.with_sharding_constraint, v, tp_shardings,
+                        is_leaf=lambda x: hasattr(x, "shape"),
+                    )
                 return block_apply(v, r, h), None
 
             h, _ = jax.lax.scan(blk, h, (local_vars, local_rngs))
@@ -164,23 +217,51 @@ def pipeline_blocks(
         outs = jnp.where(is_last, outs, jnp.zeros_like(outs))
         return jax.lax.psum(outs, axis)  # broadcast result to all stages
 
+    t = (mesh.shape[model_axis]
+         if model_axis is not None and model_axis in mesh.axis_names else 1)
+    # in_specs may only mention MANUAL axes; the tensor-parallel 'model'
+    # dims ride on the operands themselves (device_put below) and GSPMD
+    # propagates them through the stage compute.
     v_spec = pipeline_spec(stacked_vars, axis)
+    v_put_spec = pipeline_spec(stacked_vars, axis, mesh=mesh,
+                               model_axis=model_axis if t > 1 else None)
+    # Per-block TP constraint tree (the stacked spec minus the consumed
+    # leading pipe dim), re-pinned INSIDE the stage scan: the scan's
+    # dynamic-slice otherwise drops the weight shardings and GSPMD
+    # all-gathers the weights instead of sharding the stage matmuls.
+    # The NamedShardings must be built over the BODY's context mesh
+    # (manual-typed data/pipe axes), so they're resolved inside `body`.
+    tp_block_specs = (
+        jax.tree_util.tree_map(
+            lambda s: P(*tuple(s)[1:]), v_put_spec,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        if t > 1 else None
+    )
     # microbatch batch dim sharded over 'data' (replicated when absent):
     # each data row holds mb/d samples of every schedule tick. Stage params
     # are unsheared over 'data', so shard_map's AD transposes their
     # cotangents with a psum over 'data' — the DP gradient all-reduce comes
     # for free.
     xs_spec = P(None, data_axis) if d > 1 else P()
+    # manual over every axis except 'model', which stays AUTO so GSPMD
+    # inserts the Megatron TP collectives inside each stage (default
+    # frozenset() = fully manual, the TP-less behavior).
+    manual_axes = (
+        frozenset(a for a in mesh.axis_names if a != model_axis)
+        if t > 1 else frozenset()
+    )
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(v_spec, P(axis, None), xs_spec),
         out_specs=xs_spec,
+        axis_names=manual_axes,
     )
     put = lambda t, s: jax.device_put(t, NamedSharding(mesh, s))
     stacked_vars = jax.tree_util.tree_map(
-        lambda t, s: put(t, s), stacked_vars, v_spec,
-        is_leaf=lambda t: hasattr(t, "shape"),
+        lambda leaf, s: put(leaf, s), stacked_vars, v_put_spec,
+        is_leaf=lambda leaf: hasattr(leaf, "shape"),
     )
     outs = fn(stacked_vars, put(rngs, P(axis, None)), put(xs_sched, xs_spec))
     return outs.reshape(B, *x.shape[1:])
@@ -248,12 +329,15 @@ def make_block_apply(model, deterministic: bool = True):
 def pipeline_vit_forward(model, variables, x, mesh, axis: str = "pipe",
                          n_microbatches: Optional[int] = None,
                          deterministic: bool = True, rng=None,
-                         data_axis: Optional[str] = "data"):
+                         data_axis: Optional[str] = "data",
+                         model_axis: Optional[str] = "model"):
     """Full ViT forward with the block stack pipelined over `axis`.
 
     Embed and head run replicated module-wise but batch-sharded over
-    `data_axis` when the mesh has one (DP x PP); numerically equal to
-    `model.apply(variables, x, deterministic=True)` when deterministic.
+    `data_axis` when the mesh has one (DP x PP); stages are additionally
+    tensor-parallel over `model_axis` when the mesh has one (DP x PP x TP);
+    numerically equal to `model.apply(variables, x, deterministic=True)`
+    when deterministic.
     """
     stacked, rest = stack_block_variables(variables, model.depth)
     rngs = None
@@ -264,13 +348,16 @@ def pipeline_vit_forward(model, variables, x, mesh, axis: str = "pipe",
     h = pipeline_blocks(
         make_block_apply(model, deterministic), stacked, rngs, h, mesh,
         axis=axis, n_microbatches=n_microbatches, data_axis=data_axis,
+        model_axis=model_axis,
     )
     return vit_head(rest["params"], h)
 
 
 def make_pipeline_train_step(model, mesh, axis: str = "pipe",
                              n_microbatches: Optional[int] = None,
-                             data_axis: Optional[str] = "data"):
+                             data_axis: Optional[str] = "data",
+                             model_axis: Optional[str] = "model",
+                             state_specs=None):
     """Jitted train step with the block stack pipeline-parallel over `axis`.
 
     Same (state, images, labels, rng) -> (state, loss, correct) contract as
@@ -281,7 +368,11 @@ def make_pipeline_train_step(model, mesh, axis: str = "pipe",
     see the ordinary per-block tree. On a mesh with `data_axis`, the batch
     inputs are sharded across it and the pipeline runs batch-parallel
     (DP x PP); the stage-parameter gradients all-reduce over 'data' via
-    the shard_map transpose.
+    the shard_map transpose. On a mesh with `model_axis`, the stages run
+    tensor-parallel as well (DP x PP x TP) — pass `state_specs` (the spec
+    TrainState from `create_sharded_train_state`) so the un-stacked params
+    and optimizer state live model-sharded between steps instead of being
+    re-scattered from replicas every step.
     """
     from ..train.training import cross_entropy_loss
 
@@ -290,10 +381,18 @@ def make_pipeline_train_step(model, mesh, axis: str = "pipe",
     data_sharding = NamedSharding(mesh, P(data_axis) if has_data else P())
     repl = NamedSharding(mesh, P())
 
+    if state_specs is not None:
+        state_shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), state_specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+    else:
+        state_shardings = repl
+
     @functools.partial(
         jax.jit,
-        in_shardings=(repl, data_sharding, data_sharding, repl),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(state_shardings, data_sharding, data_sharding, repl),
+        out_shardings=(state_shardings, repl, repl),
     )
     def step(state, images, labels, rng):
         def loss_fn(params):
@@ -304,6 +403,7 @@ def make_pipeline_train_step(model, mesh, axis: str = "pipe",
                 model, variables, images, mesh, axis=axis,
                 n_microbatches=n_microbatches,
                 deterministic=False, rng=rng, data_axis=data_axis,
+                model_axis=model_axis,
             )
             return cross_entropy_loss(logits, labels), logits
 
