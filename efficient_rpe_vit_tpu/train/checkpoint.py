@@ -213,4 +213,6 @@ def model_kwargs_from_metadata(meta: Dict[str, Any]) -> Dict[str, Any]:
         kwargs["attention_config"] = {
             "num_features": nf if nf == "mxu" else int(nf)
         }
+    if meta.get("depth"):
+        kwargs["depth"] = int(meta["depth"])
     return kwargs

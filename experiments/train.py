@@ -90,6 +90,9 @@ def parse_args(argv=None):
                         "inside one jitted step (activation memory scales "
                         "with the microbatch; gradients are exactly the "
                         "full-batch mean)")
+    p.add_argument("--depth", type=int, default=None,
+                   help="override the config's transformer depth (e.g. to "
+                        "make depth divisible by a --mesh 'pipe' axis)")
     p.add_argument("--remat", action="store_true",
                    help="activation checkpointing: rematerialise block "
                         "activations in the backward (peak HBM O(1) blocks "
@@ -111,7 +114,9 @@ def parse_args(argv=None):
                         "'data=4,model=2' (DP x TP), 'data=4,seq=2' (DP x "
                         "CP: sequence sharded inside attention), "
                         "'data=2,expert=4' (with --mlp-type moe: expert "
-                        "parallelism). Uses the first prod(sizes) devices")
+                        "parallelism), 'data=2,pipe=2[,model=2]' (GPipe "
+                        "pipeline stages, optionally tensor-sharded: "
+                        "DP x PP x TP). Uses the first prod(sizes) devices")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -248,7 +253,8 @@ def main(argv=None, shared=None):
         model = create_model(args.model, config,
                              attention_config=attention_config,
                              mlp_config=mlp_config,
-                             **({"remat": True} if args.remat else {}))
+                             **({"remat": True} if args.remat else {}),
+                             **({"depth": args.depth} if args.depth else {}))
         if shared is not None:
             shared["model"] = model
     rng = jax.random.PRNGKey(args.seed)
@@ -292,10 +298,38 @@ def main(argv=None, shared=None):
 
         from efficient_rpe_vit_tpu.parallel import make_parallel_train_step
 
-        train_step = make_parallel_train_step(
-            model, mesh, state_specs, donate=True,
-            label_smoothing=args.label_smoothing,
-            grad_accum=args.grad_accum)
+        if "pipe" in mesh.axis_names:
+            # GPipe pipeline parallelism (composes with 'data' and
+            # 'model' axes on the same mesh: DP x PP x TP —
+            # parallel/pipeline.py). Unsupported knobs fail loudly.
+            if args.grad_accum > 1 or args.label_smoothing > 0:
+                raise SystemExit(
+                    "--mesh with a 'pipe' axis does not compose with "
+                    "--grad-accum or --label-smoothing (the GPipe step "
+                    "schedules its own microbatches)"
+                )
+            n_pipe = mesh.shape["pipe"]
+            if model.depth % n_pipe:
+                raise SystemExit(
+                    f"model depth {model.depth} not divisible by "
+                    f"pipe={n_pipe} stages"
+                )
+            if config.train.batch_size % n_pipe:
+                raise SystemExit(
+                    f"batch size {config.train.batch_size} not "
+                    f"divisible by the {n_pipe}-microbatch GPipe schedule"
+                )
+            from efficient_rpe_vit_tpu.parallel.pipeline import (
+                make_pipeline_train_step,
+            )
+
+            train_step = make_pipeline_train_step(
+                model, mesh, state_specs=state_specs)
+        else:
+            train_step = make_parallel_train_step(
+                model, mesh, state_specs, donate=True,
+                label_smoothing=args.label_smoothing,
+                grad_accum=args.grad_accum)
         _eval_inner = make_eval_step(model)
         _n_data = mesh.shape.get("data", 1)
 
@@ -396,6 +430,7 @@ def main(argv=None, shared=None):
                                               if args.mlp_type == "moe"
                                               else None),
                               "num_features": args.num_features,
+                              "depth": args.depth,
                               "ema_decay": args.ema_decay},
                 )
     total_train_time = time.perf_counter() - t_train0

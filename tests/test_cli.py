@@ -278,6 +278,38 @@ def test_benchmark_cli_accepts_custom_variants(tmp_path):
     assert summary["favor_hyper"]["num_runs"] == 1
 
 
+def test_train_cli_pipeline_mesh(tmp_path):
+    """--mesh data=2,pipe=2,model=2 trains through the 3D GPipe step
+    (DP x PP x TP) end-to-end from the CLI; the unsupported knob
+    combinations are refused loudly."""
+    import pytest
+
+    from experiments.train import main as train_main
+
+    metrics = train_main([
+        "--model", "performer_favor_most_general", "--dataset", "mnist",
+        "--epochs", "1", "--batch-size", "64", "--quiet",
+        "--depth", "4",
+        "--output-dir", str(tmp_path), "--mesh", "data=2,pipe=2,model=2",
+        "--bench-warmup", "1", "--bench-iters", "2",
+    ])
+    assert metrics["metadata"]["mesh"] == "data=2,pipe=2,model=2"
+    assert metrics["aggregate"]["final_test_accuracy"] > 1.0
+
+    with pytest.raises(SystemExit, match="grad-accum"):
+        train_main([
+            "--model", "baseline", "--dataset", "mnist", "--epochs", "1",
+            "--quiet", "--output-dir", str(tmp_path),
+            "--mesh", "data=2,pipe=2", "--grad-accum", "2", "--depth", "4",
+        ])
+    with pytest.raises(SystemExit, match="not divisible"):
+        train_main([
+            "--model", "baseline", "--dataset", "mnist", "--epochs", "1",
+            "--quiet", "--output-dir", str(tmp_path),
+            "--mesh", "data=2,pipe=2",  # default depth 3: 3 % 2 != 0
+        ])
+
+
 def test_train_cli_num_features_mxu(tmp_path):
     """--num-features mxu: the lane-aligned feature-count policy reaches
     the kernel attention omega through the CLI."""

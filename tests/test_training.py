@@ -376,6 +376,24 @@ def test_fetch_barrier_and_chained_time(rng):
     assert t >= 0.0  # RT-subtracted; tiny op can clamp to zero
 
 
+def test_model_kwargs_from_metadata():
+    """Checkpoint metadata carries every architecture knob consumers need
+    to rebuild the exact module tree (MoE shape, feature count, depth)."""
+    from efficient_rpe_vit_tpu.train.checkpoint import (
+        model_kwargs_from_metadata,
+    )
+
+    kwargs = model_kwargs_from_metadata({
+        "mlp_type": "moe", "num_experts": 2,
+        "num_features": "mxu", "depth": 4,
+    })
+    assert kwargs["mlp_config"] == {"mlp_type": "moe", "num_experts": 2}
+    assert kwargs["attention_config"] == {"num_features": "mxu"}
+    assert kwargs["depth"] == 4
+    # absent / null knobs produce NO kwargs (old checkpoints stay loadable)
+    assert model_kwargs_from_metadata({"depth": None}) == {}
+
+
 def test_orbax_checkpoint_roundtrip(rng, tmp_path):
     """Orbax backend round-trips a (sharded) TrainState with metadata."""
     import numpy as np
