@@ -93,6 +93,11 @@ def parse_args(argv=None):
     p.add_argument("--depth", type=int, default=None,
                    help="override the config's transformer depth (e.g. to "
                         "make depth divisible by a --mesh 'pipe' axis)")
+    p.add_argument("--microbatches", type=int, default=None, metavar="M",
+                   help="GPipe microbatch count for a --mesh 'pipe' axis "
+                        "(default: one per stage). More microbatches shrink "
+                        "the pipeline bubble — (S-1)/(M+S-1) of ticks are "
+                        "idle — at smaller per-tick batch")
     p.add_argument("--remat", action="store_true",
                    help="activation checkpointing: rematerialise block "
                         "activations in the backward (peak HBM O(1) blocks "
@@ -233,8 +238,18 @@ def main(argv=None, shared=None):
         nf = (args.num_features if args.num_features == "mxu"
               else int(args.num_features))
         attention_config = {"num_features": nf}
+    if args.microbatches and not args.mesh:
+        raise SystemExit(
+            "--microbatches only applies to a --mesh with a 'pipe' axis "
+            "(use --grad-accum for non-pipelined microbatching)"
+        )
     if args.mesh:
         mesh = _build_mesh(args.mesh)
+        if args.microbatches and "pipe" not in mesh.axis_names:
+            raise SystemExit(
+                "--microbatches only applies to a --mesh with a 'pipe' "
+                "axis (use --grad-accum for non-pipelined microbatching)"
+            )
         if "seq" in mesh.axis_names:
             attention_config = dict(attention_config or {})
             attention_config.update({"seq_mesh": mesh, "seq_axis": "seq"})
@@ -314,17 +329,19 @@ def main(argv=None, shared=None):
                     f"model depth {model.depth} not divisible by "
                     f"pipe={n_pipe} stages"
                 )
-            if config.train.batch_size % n_pipe:
+            n_micro = args.microbatches or n_pipe
+            if config.train.batch_size % n_micro:
                 raise SystemExit(
                     f"batch size {config.train.batch_size} not "
-                    f"divisible by the {n_pipe}-microbatch GPipe schedule"
+                    f"divisible by the {n_micro}-microbatch GPipe schedule"
                 )
             from efficient_rpe_vit_tpu.parallel.pipeline import (
                 make_pipeline_train_step,
             )
 
             train_step = make_pipeline_train_step(
-                model, mesh, state_specs=state_specs)
+                model, mesh, n_microbatches=n_micro,
+                state_specs=state_specs)
         else:
             train_step = make_parallel_train_step(
                 model, mesh, state_specs, donate=True,

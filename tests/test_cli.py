@@ -289,7 +289,7 @@ def test_train_cli_pipeline_mesh(tmp_path):
     metrics = train_main([
         "--model", "performer_favor_most_general", "--dataset", "mnist",
         "--epochs", "1", "--batch-size", "64", "--quiet",
-        "--depth", "4",
+        "--depth", "4", "--microbatches", "4",
         "--output-dir", str(tmp_path), "--mesh", "data=2,pipe=2,model=2",
         "--bench-warmup", "1", "--bench-iters", "2",
     ])
@@ -307,6 +307,12 @@ def test_train_cli_pipeline_mesh(tmp_path):
             "--model", "baseline", "--dataset", "mnist", "--epochs", "1",
             "--quiet", "--output-dir", str(tmp_path),
             "--mesh", "data=2,pipe=2",  # default depth 3: 3 % 2 != 0
+        ])
+    with pytest.raises(SystemExit, match="microbatches"):
+        train_main([
+            "--model", "baseline", "--dataset", "mnist", "--epochs", "1",
+            "--quiet", "--output-dir", str(tmp_path),
+            "--mesh", "data=2", "--microbatches", "4",  # no 'pipe' axis
         ])
 
 
