@@ -56,6 +56,14 @@ def parse_args(argv=None):
                    help="forwarded to train.py --label-smoothing")
     p.add_argument("--remat", action="store_true", default=None,
                    help="forwarded to train.py --remat")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="device mesh spec forwarded to train.py --mesh "
+                        "(e.g. 'data=8', 'data=2,pipe=2,model=2')")
+    p.add_argument("--depth", type=int, default=None,
+                   help="forwarded to train.py --depth")
+    p.add_argument("--microbatches", type=int, default=None,
+                   help="forwarded to train.py --microbatches (GPipe "
+                        "schedule; requires a --mesh 'pipe' axis)")
     p.add_argument("--output-dir", type=str, default=None,
                    help="default results/benchmark_{dataset}_{timestamp}")
     p.add_argument("--skip-existing", action="store_true",
@@ -114,6 +122,12 @@ def run_single_training(model: str, seed: int, run_dir: str, args,
         cli += ["--label-smoothing", str(args.label_smoothing)]
     if args.remat:
         cli += ["--remat"]
+    if args.mesh is not None:
+        cli += ["--mesh", args.mesh]
+    if args.depth is not None:
+        cli += ["--depth", str(args.depth)]
+    if args.microbatches is not None:
+        cli += ["--microbatches", str(args.microbatches)]
 
     if args.subprocess:
         script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -165,6 +179,8 @@ def main(argv=None):
         "num_features": args.num_features,
         "grad_accum": args.grad_accum, "ema_decay": args.ema_decay,
         "label_smoothing": args.label_smoothing, "remat": args.remat,
+        "mesh": args.mesh, "depth": args.depth,
+        "microbatches": args.microbatches,
         "timestamp": datetime.now().isoformat(),
     })
     print(f"Benchmark -> {out_dir} (models={args.models}, seeds={seeds})")

@@ -403,6 +403,27 @@ def test_benchmark_cli_forwards_grad_accum_and_ema(tmp_path):
     assert cfg["grad_accum"] == 2 and cfg["ema_decay"] == 0.99
 
 
+def test_benchmark_cli_forwards_mesh(tmp_path):
+    """--mesh/--depth/--microbatches reach train.py: a (data=2, pipe=2)
+    GPipe sweep runs through the orchestrator and the config records it."""
+    from experiments.benchmark import main as bench_main
+
+    out = str(tmp_path / "bench")
+    summary = bench_main([
+        "--models", "baseline", "--dataset", "mnist", "--num-runs", "1",
+        "--epochs", "1", "--batch-size", "64",
+        "--mesh", "data=2,pipe=2", "--depth", "4", "--microbatches", "4",
+        "--output-dir", out, "--quiet",
+    ])
+    assert summary["baseline"]["num_runs"] == 1
+    cfg = json.load(open(os.path.join(out, "benchmark_config.json")))
+    assert cfg["mesh"] == "data=2,pipe=2"
+    assert cfg["depth"] == 4 and cfg["microbatches"] == 4
+    run = json.load(open(os.path.join(
+        out, "baseline", "run_0_seed_42", "baseline_mnist_metrics.json")))
+    assert run["metadata"]["mesh"] == "data=2,pipe=2"
+
+
 def test_predict_cli_attention_maps(tmp_path, rng):
     """--attention-maps renders a PNG from a softmax checkpoint and
     refuses linear-attention variants loudly."""
