@@ -58,7 +58,10 @@ def parse_args(argv=None):
                    action="store_true")
     p.add_argument("--output-dir", type=str, default="results")
     p.add_argument("--resume", type=str, default=None,
-                   help="checkpoint path to resume from")
+                   help="checkpoint path to resume from, or 'auto' to "
+                        "resume from this run's own best checkpoint when "
+                        "one exists (fault-tolerant re-entry: a preempted "
+                        "run is simply re-invoked with identical flags)")
     p.add_argument("--log-interval", type=float, default=0.02,
                    help="progress print interval as a fraction of batches")
     p.add_argument("--eval-detailed", action="store_true",
@@ -292,6 +295,19 @@ def main(argv=None, shared=None):
         print(f"Parameters: {n_params['total']:,}")
 
     start_epoch = 1
+    if args.resume == "auto":
+        # fault-tolerant re-entry: resume from this run's own best
+        # checkpoint when one exists (a preempted run is re-invoked with
+        # identical flags), otherwise start fresh — no flag juggling
+        auto = os.path.join(
+            args.output_dir,
+            f"{args.model}_{args.dataset}_best_orbax"
+            if args.checkpoint_backend == "orbax"
+            else f"{args.model}_{args.dataset}_best.msgpack",
+        )
+        args.resume = auto if os.path.exists(auto) else None
+        if args.resume is None and not args.quiet:
+            print("[resume auto] no checkpoint found; starting fresh")
     if args.resume:
         if os.path.isdir(args.resume):  # orbax checkpoints are directories
             from efficient_rpe_vit_tpu.train.checkpoint import (

@@ -73,6 +73,35 @@ def test_train_cli_resume(train_run, tmp_path):
     assert [e["epoch"] for e in metrics["per_epoch"]] == [2]
 
 
+def test_train_cli_resume_auto(train_run):
+    """--resume auto: fault-tolerant re-entry. With no checkpoint in the
+    output dir it starts fresh; re-invoked with identical flags after a
+    'preemption' it picks up the run's own best checkpoint."""
+    from experiments.train import main as train_main
+
+    out, _ = train_run  # epoch-1 run left a best checkpoint in `out`
+    metrics = train_main([
+        "--model", "performer_relu_rope", "--dataset", "mnist",
+        "--epochs", "2", "--batch-size", "64", "--quiet",
+        "--output-dir", out, "--resume", "auto",
+        "--bench-warmup", "1", "--bench-iters", "2",
+    ])
+    assert [e["epoch"] for e in metrics["per_epoch"]] == [2]
+
+
+def test_train_cli_resume_auto_fresh(tmp_path):
+    from experiments.train import main as train_main
+
+    metrics = train_main([
+        "--model", "baseline", "--dataset", "mnist",
+        "--epochs", "1", "--batch-size", "64", "--quiet",
+        "--output-dir", str(tmp_path), "--resume", "auto",
+        "--bench-warmup", "1", "--bench-iters", "2",
+    ])
+    # no checkpoint existed: trained from scratch, epoch 1 recorded
+    assert [e["epoch"] for e in metrics["per_epoch"]] == [1]
+
+
 def test_benchmark_cli_and_report(tmp_path):
     from experiments.benchmark import main as bench_main
     from experiments.report import build_report
