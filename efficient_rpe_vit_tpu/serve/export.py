@@ -32,6 +32,55 @@ from jax import export as jax_export
 _EXPORT_SUFFIX = ".meta.json"
 
 
+class _QuantLeaf:
+    """int8 weights + fp32 per-channel scales for one param leaf.
+
+    Held inside the variables tree between quantization (host, concrete
+    arrays) and dequantization (inside the exported forward, where both
+    members become embedded constants and XLA folds the dequant).
+    """
+
+    def __init__(self, q, scale):
+        self.q = q
+        self.scale = scale
+
+
+def _quantize_int8_params(params):
+    """Weight-only symmetric per-output-channel int8 quantization.
+
+    Every floating leaf with ndim >= 2 (matmul kernels, embeddings) is
+    mapped to round(a / s) in [-127, 127] with s = amax/127 over all axes
+    but the last (per-output-channel granularity — the standard weight-only
+    PTQ scheme). Biases/LayerNorm vectors stay fp32: they are tiny and
+    quantizing them buys nothing. The 'constants' collection (e.g. the
+    FAVOR+ random-feature matrices, whose values define the kernel
+    estimator) is never quantized — only trained 'params'.
+    """
+
+    def q(leaf):
+        if not (hasattr(leaf, "dtype")
+                and jnp.issubdtype(leaf.dtype, jnp.floating)
+                and leaf.ndim >= 2):
+            return leaf
+        a = jnp.asarray(leaf, jnp.float32)
+        amax = jnp.max(jnp.abs(a), axis=tuple(range(a.ndim - 1)),
+                       keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        qv = jnp.clip(jnp.round(a / scale), -127, 127).astype(jnp.int8)
+        return _QuantLeaf(qv, scale)
+
+    return jax.tree_util.tree_map(q, params)
+
+
+def _dequantize(tree):
+    return jax.tree_util.tree_map(
+        lambda l: l.q.astype(jnp.float32) * l.scale
+        if isinstance(l, _QuantLeaf) else l,
+        tree,
+        is_leaf=lambda l: isinstance(l, _QuantLeaf),
+    )
+
+
 def export_forward(
     model,
     variables,
@@ -55,20 +104,30 @@ def export_forward(
         weights_dtype: optionally cast floating-point weights for the
             artifact (e.g. ``jnp.bfloat16`` halves its size and feeds the
             MXU its native input dtype; logits move by ~bf16 rounding).
+            ``"int8"`` instead applies weight-only symmetric per-channel
+            quantization to the trained params (~4x smaller artifact;
+            logits move by quantization error — validate on your data).
     Returns:
         jax.export.Exported (serialize with ``.serialize()``).
     """
     if weights_dtype is not None:
         wd = jnp.dtype(weights_dtype)
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(wd)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-            else a,
-            variables,
-        )
+        if wd == jnp.int8:
+            variables = dict(variables)
+            variables["params"] = _quantize_int8_params(variables["params"])
+        else:
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(wd)
+                if (hasattr(a, "dtype")
+                    and jnp.issubdtype(a.dtype, jnp.floating))
+                else a,
+                variables,
+            )
 
     def forward(x):
-        return model.apply(variables, x, deterministic=True)
+        v = dict(variables)
+        v["params"] = _dequantize(v["params"])
+        return model.apply(v, x, deterministic=True)
 
     (b,) = jax_export.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct(
@@ -110,6 +169,11 @@ def save_exported(
         "platforms": list(exported.platforms),
         "weights_dtype": (str(jnp.dtype(weights_dtype))
                           if weights_dtype is not None else "unchanged"),
+        **({"quantization": "weight-only symmetric per-output-channel "
+                            "int8 (float params with ndim>=2; constants "
+                            "and bias/norm vectors stay fp32)"}
+           if weights_dtype is not None
+           and jnp.dtype(weights_dtype) == jnp.int8 else {}),
         "input_shape": ["b", image_size, image_size, in_channels],
         "out_avals": [
             {"shape": [str(s) for s in a.shape], "dtype": str(a.dtype)}

@@ -40,9 +40,12 @@ def parse_args(argv=None):
                    help="lowering platforms (e.g. cpu tpu); default: "
                         "current backend")
     p.add_argument("--weights-dtype", default=None,
-                   choices=[None, "bfloat16", "float32"],
+                   choices=[None, "bfloat16", "float32", "int8"],
                    help="cast floating weights for the artifact (bfloat16 "
-                        "halves its size and is the MXU's native input)")
+                        "halves its size and is the MXU's native input; "
+                        "int8 = weight-only symmetric per-channel "
+                        "quantization, ~4x smaller, logits move by "
+                        "quantization error)")
     p.add_argument("--validate", action="store_true",
                    help="reload the artifact and check logits vs the live "
                         "model at two batch sizes")
@@ -114,8 +117,10 @@ def main(argv=None):
     if args.validate:
         fn, _ = load_exported(path)
         ok = True
-        # bf16 weights move logits by rounding; fp32 artifacts must match
-        tol = 1e-4 if args.weights_dtype in (None, "float32") else 5e-2
+        # bf16 weights move logits by rounding; fp32 artifacts must match;
+        # int8 moves logits by quantization error — gate on top-1 agreement
+        tol = {None: 1e-4, "float32": 1e-4,
+               "bfloat16": 5e-2}.get(args.weights_dtype)
         for batch in (2, 5):
             x = jax.random.normal(
                 jax.random.PRNGKey(batch),
@@ -124,8 +129,16 @@ def main(argv=None):
             ref = model.apply(variables, x, deterministic=True)
             got = fn(x)
             err = float(jnp.max(jnp.abs(got - ref)))
-            print(f"validate B={batch}: max |Δlogit| = {err:.2e}")
-            ok = ok and err < tol
+            if tol is not None:
+                print(f"validate B={batch}: max |Δlogit| = {err:.2e}")
+                ok = ok and err < tol
+            else:  # int8
+                agree = float(jnp.mean(
+                    (jnp.argmax(got, -1) == jnp.argmax(ref, -1))
+                    .astype(jnp.float32)))
+                print(f"validate B={batch}: max |Δlogit| = {err:.2e}, "
+                      f"top-1 agreement = {agree:.0%}")
+                ok = ok and agree == 1.0
         if not ok:
             raise SystemExit("validation FAILED")
         print("validation OK")
