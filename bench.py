@@ -52,13 +52,13 @@ def _device_healthy(timeout_s: int = HEALTH_TIMEOUT_S) -> bool:
         return False
 
 
-def _wait_for_device(attempts: int = 16, probe_timeout_s: int = HEALTH_TIMEOUT_S,
-                     sleep_s: int = 120) -> bool:
+def _wait_for_device(attempts: int = 20, probe_timeout_s: int = HEALTH_TIMEOUT_S,
+                     sleep_s: int = 150) -> bool:
     """Tunnel outages ranged from 20-60 min (round 2) to 4+ HOURS
     (round 3, 2026-08-18). Retry the health probe (each allowed the full
     first-compile window, HEALTH_TIMEOUT_S — a healthy-but-slow tunnel
     must not read as dead; a hard-down tunnel fails fast with
-    UNAVAILABLE) for up to ~40 min fast-fail / ~2 h hang-bounded before
+    UNAVAILABLE) for up to ~50 min fast-fail / ~2.5 h hang-bounded before
     surrendering to the CPU fallback, so an end-of-round capture that
     lands inside an outage still records a real-TPU number."""
     for i in range(attempts):
