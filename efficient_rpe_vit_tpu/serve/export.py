@@ -116,8 +116,11 @@ def export_forward(
             variables = dict(variables)
             variables["params"] = _quantize_int8_params(variables["params"])
         else:
+            # jnp.asarray before the cast: checkpoint restore yields numpy
+            # leaves, and a numpy ml_dtypes bf16 constant gets promoted back
+            # to fp32 when traced, silently undoing the size/dtype win.
             variables = jax.tree_util.tree_map(
-                lambda a: a.astype(wd)
+                lambda a: jnp.asarray(a).astype(wd)
                 if (hasattr(a, "dtype")
                     and jnp.issubdtype(a.dtype, jnp.floating))
                 else a,

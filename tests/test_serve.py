@@ -138,6 +138,32 @@ def test_export_bf16_weights(tmp_path):
     np.testing.assert_allclose(l16, l32, atol=5e-2)
 
 
+def test_export_bf16_weights_from_numpy_leaves(tmp_path):
+    """Checkpoint restore yields NUMPY leaves; the bf16 cast must still
+    shrink the artifact. Regression: numpy ml_dtypes bf16 constants were
+    promoted back to fp32 at trace time, silently undoing the cast (the
+    CLI --weights-dtype bfloat16 path always exports from a restored
+    checkpoint, i.e. numpy leaves)."""
+    cfg, model, variables = _build("performer_favor")
+    m = cfg.model
+    variables_np = jax.tree_util.tree_map(np.asarray, variables)
+    p32 = str(tmp_path / "fp32.hlo")
+    p16 = str(tmp_path / "bf16.hlo")
+    save_exported(p32, model, variables_np,
+                  image_size=m.image_size, in_channels=m.in_channels)
+    save_exported(p16, model, variables_np,
+                  image_size=m.image_size, in_channels=m.in_channels,
+                  weights_dtype=jnp.bfloat16)
+    assert os.path.getsize(p16) < 0.75 * os.path.getsize(p32)
+    fn16, meta16 = load_exported(p16)
+    assert meta16["weights_dtype"] == "bfloat16"
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (4, m.image_size, m.image_size, m.in_channels))
+    ref = model.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(fn16(x)), np.asarray(ref),
+                               atol=5e-2)
+
+
 def test_export_int8_weights(tmp_path):
     """weights_dtype='int8': weight-only per-channel quantization shrinks
     the artifact ~4x vs fp32 and keeps top-1 predictions; the FAVOR+
