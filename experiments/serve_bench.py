@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Serving latency benchmark: exported artifacts vs the live model.
+
+The int8/bf16 export work (docs/SERVING.md) measured artifact SIZE and
+ACCURACY; this closes the loop with measured serving LATENCY on the real
+chip. For each weights dtype (fp32 / bfloat16 / int8) the trained
+checkpoint is exported in-process for the current backend, and the
+artifact's forward is timed with the calibrated chained value-fetch
+protocol (docs/BENCHMARKING.md rules 1/2/6 — the only protocol that
+resolves sub-millisecond models through the ~25 ms tunnel round trip).
+A live `model.apply` control row quantifies the artifact call overhead
+(expected ~zero: jax.export replays the same StableHLO the live jit
+compiles).
+
+Reference anchor: the reference's only serving story is re-running
+`benchmark_inference` on the torch module (experiments/utils/
+training.py:210-283); it has no deployment artifact to measure.
+
+Usage:
+    python experiments/serve_bench.py \
+        [--checkpoint results/int8_quant_r3/train/baseline_mnist_best.msgpack]
+        [--batches 1 32 256] [--out results/serve_bench_r3.json] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_CKPT = "results/int8_quant_r3/train/baseline_mnist_best.msgpack"
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", default=DEFAULT_CKPT)
+    p.add_argument("--model", default=None,
+                   help="variant name; default from checkpoint metadata")
+    p.add_argument("--dataset", default=None,
+                   choices=[None, "mnist", "cifar10"])
+    p.add_argument("--batches", nargs="+", type=int, default=[1, 32, 256])
+    p.add_argument("--out", default="results/serve_bench_r3.json")
+    p.add_argument("--quick", action="store_true",
+                   help="uncalibrated short chains (CI smoke, not a "
+                        "measurement)")
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_rpe_vit_tpu.configs import cifar10_config, mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+    from efficient_rpe_vit_tpu.serve import export_forward
+    from efficient_rpe_vit_tpu.train import (
+        benchmark_inference,
+        create_train_state,
+    )
+    from efficient_rpe_vit_tpu.train.checkpoint import (
+        load_checkpoint,
+        model_kwargs_from_metadata,
+    )
+
+    meta = {}
+    meta_path = args.checkpoint + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f).get("metadata", {})
+    model_name = args.model or meta.get("model_name")
+    dataset = args.dataset or meta.get("dataset", "mnist")
+    if model_name is None:
+        raise SystemExit("--model required (no checkpoint metadata)")
+
+    cfg = mnist_config() if dataset == "mnist" else cifar10_config()
+    model = create_model(model_name, cfg, **model_kwargs_from_metadata(meta))
+    m = cfg.model
+    sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), sample,
+                               ema_decay=float(meta.get("ema_decay") or 0.0))
+    state, _ = load_checkpoint(args.checkpoint, state)
+    state = state.eval_view()
+    variables = {"params": state.params}
+    if state.constants is not None:
+        variables["constants"] = state.constants
+
+    backend = jax.default_backend()
+    print(f"backend={backend}  model={model_name}  dataset={dataset}")
+
+    bench_kwargs = dict(num_chains=3, num_iterations=6,
+                        target_chain_time=0.0) if args.quick else \
+        dict(num_chains=10, num_iterations=100)
+
+    def artifact_chain(exported):
+        """Chained forwards through the DESERIALIZED artifact (same
+        data-dependent coupling as make_inference_chain; the loop bound is
+        traced, so calibration reuses one compile)."""
+
+        @jax.jit
+        def chain(_variables, images, length):
+            def body(_, x):
+                out = exported.call(x)
+                return images + (1e-30 * jnp.sum(out)).astype(images.dtype)
+
+            x = jax.lax.fori_loop(0, length, body, images)
+            return jnp.sum(x)
+
+        return chain
+
+    rows = []
+    # (label, weights_dtype or the live-model sentinel)
+    cases = [("live_model", "live"), ("artifact_fp32", None),
+             ("artifact_bf16", "bfloat16"), ("artifact_int8", "int8")]
+    for label, wd in cases:
+        chain_fn = None
+        artifact_bytes = None
+        if wd != "live":
+            exported = export_forward(
+                model, variables, image_size=m.image_size,
+                in_channels=m.in_channels, weights_dtype=wd,
+            )
+            # measure what would be written to disk, then serve the
+            # deserialized form — exactly the production path
+            blob = bytes(exported.serialize())
+            artifact_bytes = len(blob)
+            from jax import export as jax_export
+
+            exported = jax_export.deserialize(bytearray(blob))
+            chain_fn = artifact_chain(exported)
+        for batch in args.batches:
+            images = jax.random.normal(
+                jax.random.PRNGKey(batch),
+                (batch, m.image_size, m.image_size, m.in_channels),
+            )
+            r = benchmark_inference(state, model, images,
+                                    chain_fn=chain_fn, **bench_kwargs)
+            row = {"case": label, "batch": batch,
+                   "p50_ms": r["latency_p50_ms"],
+                   "mean_ms": r["latency_mean_ms"],
+                   "us_per_sample": r["latency_ms_per_sample"] * 1e3,
+                   "images_per_sec": r["throughput_images_per_sec"],
+                   "chain_length": r["chain_length"],
+                   "fetch_rt_ms": r["fetch_rt_ms"]}
+            if artifact_bytes is not None:
+                row["artifact_bytes"] = artifact_bytes
+            if r.get("clipped_chains"):
+                row["clipped_chains"] = r["clipped_chains"]
+            rows.append(row)
+            print(f"{label:14s} B={batch:<4d} p50 {row['p50_ms']:.4f} ms/batch"
+                  f"  {row['us_per_sample']:.2f} us/sample"
+                  f"  {row['images_per_sec']:,.0f} img/s", flush=True)
+
+    result = {"backend": backend, "model": model_name, "dataset": dataset,
+              "checkpoint": args.checkpoint, "quick": bool(args.quick),
+              "rows": rows}
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
