@@ -310,6 +310,57 @@ def _make_accum_train_step(model, donate: bool, grad_accum: int,
     return train_step
 
 
+def make_multi_step(model, donate: bool = True,
+                    label_smoothing: float = 0.0) -> Callable:
+    """K full optimizer steps in ONE jitted program (a `lax.scan`).
+
+    Signature: `multi_step(state, images [K, B, ...], labels [K, B],
+    dropout_key) -> (state, losses [K], corrects [K])`. Each scan
+    iteration is a complete train step (forward + backward + optax update
+    + EMA + redraw threading), bit-identical to K calls of the
+    `make_train_step` step with keys `fold_in(dropout_key, i)`
+    (equality-tested in tests/test_training.py).
+
+    Why it exists: on a remote-attached TPU each dispatch costs host work
+    and tunnel traffic; for dim-32 models the per-step program is shorter
+    than the dispatch overhead, so the chip idles between steps. Scanning
+    K steps amortises the dispatch to zero — the TPU-native analogue of
+    CUDA-graph step capture. The per-step batches are stacked on the
+    leading axis (device-side `jnp.stack` of already-gathered batches);
+    the scan slices them back out on device.
+
+    The reference has no analogue (its loop is one
+    `optimizer.step()` per Python iteration,
+    experiments/utils/training.py:57-63).
+    """
+    micro_loss = make_micro_loss(model, label_smoothing)
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(state: TrainState, images, labels, dropout_key):
+        k = images.shape[0]
+        redraw_mode = state.mutable_state is not None
+
+        def body(st, inp):
+            x, y, i = inp
+            key = jax.random.fold_in(dropout_key, i)
+            (loss, (correct, updates)), grads = grad_fn(
+                st.params, st.constants, st.mutable_state, x, y, key)
+            st = st.apply_gradients(grads)
+            if redraw_mode:
+                st = st.replace(
+                    constants=updates.get("constants", st.constants),
+                    mutable_state=updates.get("state", st.mutable_state),
+                )
+            return st, (loss, correct)
+
+        state, (losses, corrects) = jax.lax.scan(
+            body, state, (images, labels, jnp.arange(k)))
+        return state, losses, corrects
+
+    return multi_step
+
+
 def make_eval_step(model) -> Callable:
     @jax.jit
     def eval_step(state: TrainState, images, labels):
@@ -333,9 +384,23 @@ def train_epoch(
     epoch: int = 0,
     log_interval_frac: float = 0.02,
     verbose: bool = True,
+    multi_step: Optional[Callable] = None,
+    fused_steps: int = 1,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """One epoch (reference: training.py:20-104): accumulate loss/accuracy,
-    print progress every ~2% of batches with elapsed time."""
+    print progress every ~2% of batches with elapsed time.
+
+    Pass `multi_step` (from `make_multi_step`) and `fused_steps=K` to
+    dispatch the epoch in K-step fused chunks: batches are buffered,
+    stacked on device, and run through one `lax.scan` program per chunk —
+    per-step dispatch overhead (host work + tunnel traffic per call)
+    amortises K-fold. An epoch tail shorter than K runs as one smaller
+    chunk (one extra compile, same every epoch)."""
+    if multi_step is not None and fused_steps > 1:
+        return _train_epoch_fused(
+            state, multi_step, dataset, rng, epoch, fused_steps,
+            log_interval_frac, verbose,
+        )
     t0 = time.perf_counter()
     n_batches = len(dataset)
     log_every = max(1, int(n_batches * log_interval_frac))
@@ -370,6 +435,66 @@ def train_epoch(
     final_loss = float(
         total_loss + 0.0 * jnp.sum(leaf.astype(jnp.float32))
     )
+    epoch_time = time.perf_counter() - t0
+    return state, {
+        "loss": final_loss / max(1, total_seen),
+        "accuracy": 100.0 * float(total_correct) / max(1, total_seen),
+        "time": epoch_time,
+        "samples": total_seen,
+    }
+
+
+def _train_epoch_fused(state, multi_step, dataset, rng, epoch, fused_steps,
+                       log_interval_frac, verbose):
+    """Fused-chunk epoch driver (see train_epoch). Buffers up to
+    `fused_steps` same-shape batches, stacks them on device, and runs one
+    multi_step program per chunk. Flushes early when the batch shape
+    changes (the last partial batch), so every chunk is rectangular."""
+    t0 = time.perf_counter()
+    n_batches = len(dataset)
+    log_every = max(1, int(n_batches * log_interval_frac))
+    total_loss = jnp.zeros((), jnp.float32)
+    total_correct = jnp.zeros((), jnp.int32)
+    total_seen = 0
+    done = 0
+    buf_x, buf_y = [], []
+
+    def flush():
+        nonlocal state, total_loss, total_correct, total_seen, done, rng
+        nonlocal buf_x, buf_y
+        if not buf_x:
+            return
+        rng, sub = jax.random.split(rng)
+        xs = jnp.stack(buf_x)
+        ys = jnp.stack(buf_y)
+        b = buf_x[0].shape[0]
+        state, losses, corrects = multi_step(state, xs, ys, sub)
+        total_loss = total_loss + jnp.sum(losses) * b
+        total_correct = total_correct + jnp.sum(corrects)
+        total_seen += len(buf_x) * b
+        done += len(buf_x)
+        buf_x, buf_y = [], []
+        if verbose and done % log_every < fused_steps:
+            elapsed = time.perf_counter() - t0
+            print(
+                f"  epoch {epoch} [{done}/{n_batches}] "
+                f"loss {float(total_loss) / total_seen:.4f} "
+                f"acc {100.0 * float(total_correct) / total_seen:.2f}% "
+                f"({elapsed:.1f}s)",
+                flush=True,
+            )
+
+    for images, labels in dataset:
+        if buf_x and images.shape != buf_x[0].shape:
+            flush()
+        buf_x.append(images)
+        buf_y.append(labels)
+        if len(buf_x) == fused_steps:
+            flush()
+    flush()
+
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    final_loss = float(total_loss + 0.0 * jnp.sum(leaf.astype(jnp.float32)))
     epoch_time = time.perf_counter() - t0
     return state, {
         "loss": final_loss / max(1, total_seen),

@@ -93,6 +93,11 @@ def parse_args(argv=None):
                         "inside one jitted step (activation memory scales "
                         "with the microbatch; gradients are exactly the "
                         "full-batch mean)")
+    p.add_argument("--fused-steps", type=int, default=1, metavar="K",
+                   help="dispatch the epoch in K-step fused chunks (one "
+                        "lax.scan program per chunk) — amortises per-step "
+                        "dispatch overhead K-fold; biggest win for small "
+                        "models on a remote-attached chip")
     p.add_argument("--depth", type=int, default=None,
                    help="override the config's transformer depth (e.g. to "
                         "make depth divisible by a --mesh 'pipe' axis)")
@@ -246,6 +251,12 @@ def main(argv=None, shared=None):
             "--microbatches only applies to a --mesh with a 'pipe' axis "
             "(use --grad-accum for non-pipelined microbatching)"
         )
+    if args.fused_steps > 1 and (args.mesh or args.grad_accum > 1):
+        raise SystemExit(
+            "--fused-steps composes with the plain single-chip step only "
+            "(not --mesh or --grad-accum); the sharded/accumulated steps "
+            "have their own dispatch structure"
+        )
     if args.mesh:
         mesh = _build_mesh(args.mesh)
         if args.microbatches and "pipe" not in mesh.axis_names:
@@ -321,6 +332,7 @@ def main(argv=None, shared=None):
         if not args.quiet:
             print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
+    multi_step = None
     if shared is not None and shared.get("train_step") is not None:
         train_step = shared["train_step"]
         eval_step = shared["eval_step"]
@@ -378,6 +390,11 @@ def main(argv=None, shared=None):
         train_step = make_train_step(model, donate=True,
                                      grad_accum=args.grad_accum,
                                      label_smoothing=args.label_smoothing)
+        if args.fused_steps > 1:
+            from efficient_rpe_vit_tpu.train import make_multi_step
+
+            multi_step = make_multi_step(
+                model, donate=True, label_smoothing=args.label_smoothing)
         eval_step = make_eval_step(model)
         if shared is not None:
             shared["train_step"] = train_step
@@ -424,6 +441,7 @@ def main(argv=None, shared=None):
             state, tm = train_epoch(
                 state, train_step, train_ds, epoch_key, epoch=epoch,
                 log_interval_frac=args.log_interval, verbose=not args.quiet,
+                multi_step=multi_step, fused_steps=args.fused_steps,
             )
         if profiling:
             try:

@@ -29,6 +29,7 @@ from efficient_rpe_vit_tpu.train import (
     evaluate,
     load_checkpoint,
     make_eval_step,
+    make_multi_step,
     make_train_step,
     save_checkpoint,
     train_epoch,
@@ -621,3 +622,76 @@ def test_ema_resume_from_pre_ema_checkpoint(rng, tmp_path):
     for p, e in zip(jax.tree_util.tree_leaves(restored.params),
                     jax.tree_util.tree_leaves(restored.ema_params)):
         np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
+
+
+def test_multi_step_matches_sequential_steps(rng):
+    """make_multi_step(K) == K make_train_step calls with fold_in(key, i)
+    keys — same params, losses, corrects (it IS the same program, scanned)."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor_most_general", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    K, B = 3, 8
+    xs = jax.random.normal(rng, (K, B, 28, 28, 1))
+    ys = (jnp.arange(K * B) % 10).reshape(K, B)
+
+    step = make_train_step(model)
+    seq_state = state
+    seq_losses, seq_corrects = [], []
+    for i in range(K):
+        key = jax.random.fold_in(rng, i)
+        seq_state, loss, correct = step(seq_state, xs[i], ys[i], key)
+        seq_losses.append(float(loss))
+        seq_corrects.append(int(correct))
+
+    fused_state, losses, corrects = make_multi_step(model, donate=False)(
+        state, xs, ys, rng)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(corrects), seq_corrects)
+    for a, b in zip(jax.tree_util.tree_leaves(seq_state.params),
+                    jax.tree_util.tree_leaves(fused_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(fused_state.step) == int(state.step) + K
+
+
+def test_multi_step_threads_redraw_state(rng):
+    """Feature-redraw counters ride the scan carry: K steps advance the
+    counter by K, exactly as K sequential steps would."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor", cfg,
+                         attention_config={"feature_redraw_interval": 2})
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    assert state.mutable_state is not None
+    K = 4
+    xs = jax.random.normal(rng, (K, 8, 28, 28, 1))
+    ys = (jnp.arange(K * 8) % 10).reshape(K, 8)
+    new_state, losses, _ = make_multi_step(model, donate=False)(
+        state, xs, ys, rng)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+    for before, after in zip(
+            jax.tree_util.tree_leaves(state.mutable_state),
+            jax.tree_util.tree_leaves(new_state.mutable_state)):
+        np.testing.assert_array_equal(np.asarray(after),
+                                      np.asarray(before) + K)
+
+
+def test_train_epoch_fused_matches_plain(rng):
+    """The fused-chunk epoch driver produces the same updates and metrics
+    as the per-batch loop (deterministic model: dropout 0, no augment, no
+    shuffle), including a tail chunk shorter than fused_steps."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    ds = _dummy_dataset(n=96, bs=16)  # 6 batches; fused_steps=4 -> 4 + 2
+    ds.shuffle = False
+    step = make_train_step(model)
+    multi = make_multi_step(model, donate=False)
+
+    s_plain, m_plain = train_epoch(state, step, ds, rng, verbose=False)
+    s_fused, m_fused = train_epoch(state, step, ds, rng, verbose=False,
+                                   multi_step=multi, fused_steps=4)
+    assert m_fused["samples"] == m_plain["samples"] == 96
+    assert m_fused["loss"] == pytest.approx(m_plain["loss"], abs=1e-5)
+    assert m_fused["accuracy"] == pytest.approx(m_plain["accuracy"])
+    for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
+                    jax.tree_util.tree_leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
