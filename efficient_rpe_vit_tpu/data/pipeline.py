@@ -157,10 +157,17 @@ class DeviceDataset:
     def num_samples(self) -> int:
         return self.n
 
-    def __iter__(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
-        order = (
+    def epoch_order(self) -> np.ndarray:
+        """One epoch's sample order (a fresh permutation when shuffling —
+        advances the same RNG stream the iterator uses). The gather-fused
+        epoch driver (train/training.py) cuts this into [K, B] index
+        chunks instead of iterating batches."""
+        return (
             self._rng.permutation(self.n) if self.shuffle else np.arange(self.n)
         )
+
+    def __iter__(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        order = self.epoch_order()
         bs = self.batch_size
         n_full = self.n // bs
         for b in range(n_full):

@@ -361,6 +361,67 @@ def make_multi_step(model, donate: bool = True,
     return multi_step
 
 
+def make_gather_multi_step(model, donate: bool = True,
+                           label_smoothing: float = 0.0,
+                           augment: Optional[str] = None) -> Callable:
+    """K train steps per program with the batch ASSEMBLY inside the scan.
+
+    Signature: `gather_multi_step(state, images_u8 [n, H, W, C],
+    labels_all [n], mean [C], std [C], idx [K, B], dropout_key) ->
+    (state, losses [K], corrects [K])`. Each scan iteration gathers its
+    batch rows from the device-resident uint8 dataset, normalises (and
+    optionally augments) on device, and runs one complete optimizer step —
+    so a whole epoch chunk is ONE dispatch and the only per-chunk
+    host->device traffic is the [K, B] int32 index array.
+
+    This removes what the stacked `make_multi_step` leaves behind: with
+    the step itself fused, the per-batch `_gather_batch` dispatches
+    dominate a real epoch (~2.5 ms of tunnel dispatch for ~us of gather
+    work each, docs/BENCHMARKING.md "fused multi-step").
+
+    Augmentation draws its key from the same per-step `fold_in` chain as
+    dropout (the unfused pipeline uses the dataset's own key stream —
+    both are valid dropout/augment randomness; equality tests disable
+    augmentation).
+    """
+    from ..data.pipeline import augment_cifar, augment_mnist
+
+    micro_loss = make_micro_loss(model, label_smoothing)
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def gather_multi_step(state: TrainState, images_u8, labels_all,
+                          mean, std, idx, dropout_key):
+        k = idx.shape[0]
+        redraw_mode = state.mutable_state is not None
+
+        def body(st, inp):
+            rows, i = inp
+            key = jax.random.fold_in(dropout_key, i)
+            x = jnp.take(images_u8, rows, axis=0).astype(jnp.float32) / 255.0
+            if augment == "mnist":
+                x = augment_mnist(x, jax.random.fold_in(key, 7))
+            elif augment == "cifar":
+                x = augment_cifar(x, jax.random.fold_in(key, 7))
+            x = (x - mean) / std
+            y = jnp.take(labels_all, rows, axis=0)
+            (loss, (correct, updates)), grads = grad_fn(
+                st.params, st.constants, st.mutable_state, x, y, key)
+            st = st.apply_gradients(grads)
+            if redraw_mode:
+                st = st.replace(
+                    constants=updates.get("constants", st.constants),
+                    mutable_state=updates.get("state", st.mutable_state),
+                )
+            return st, (loss, correct)
+
+        state, (losses, corrects) = jax.lax.scan(
+            body, state, (idx, jnp.arange(k)))
+        return state, losses, corrects
+
+    return gather_multi_step
+
+
 def make_eval_step(model) -> Callable:
     @jax.jit
     def eval_step(state: TrainState, images, labels):
@@ -386,6 +447,7 @@ def train_epoch(
     verbose: bool = True,
     multi_step: Optional[Callable] = None,
     fused_steps: int = 1,
+    gather_step: Optional[Callable] = None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """One epoch (reference: training.py:20-104): accumulate loss/accuracy,
     print progress every ~2% of batches with elapsed time.
@@ -395,7 +457,18 @@ def train_epoch(
     stacked on device, and run through one `lax.scan` program per chunk —
     per-step dispatch overhead (host work + tunnel traffic per call)
     amortises K-fold. An epoch tail shorter than K runs as one smaller
-    chunk (one extra compile, same every epoch)."""
+    chunk (one extra compile, same every epoch).
+
+    Pass `gather_step` (from `make_gather_multi_step`) instead, with a
+    device-resident dataset (`DeviceDataset`), to also fold the per-batch
+    gather/normalise/augment into the scan: one dispatch per chunk, and
+    only the [K, B] index array crosses the host boundary."""
+    if (gather_step is not None and fused_steps > 1
+            and hasattr(dataset, "images")):
+        return _train_epoch_gather_fused(
+            state, gather_step, dataset, rng, epoch, fused_steps,
+            log_interval_frac, verbose,
+        )
     if multi_step is not None and fused_steps > 1:
         return _train_epoch_fused(
             state, multi_step, dataset, rng, epoch, fused_steps,
@@ -492,6 +565,65 @@ def _train_epoch_fused(state, multi_step, dataset, rng, epoch, fused_steps,
         if len(buf_x) == fused_steps:
             flush()
     flush()
+
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    final_loss = float(total_loss + 0.0 * jnp.sum(leaf.astype(jnp.float32)))
+    epoch_time = time.perf_counter() - t0
+    return state, {
+        "loss": final_loss / max(1, total_seen),
+        "accuracy": 100.0 * float(total_correct) / max(1, total_seen),
+        "time": epoch_time,
+        "samples": total_seen,
+    }
+
+
+def _train_epoch_gather_fused(state, gather_step, dataset, rng, epoch,
+                              fused_steps, log_interval_frac, verbose):
+    """Gather-fused epoch driver (see train_epoch): the epoch's shuffled
+    index order is cut into [K, B] chunks; each chunk is one
+    `gather_step` dispatch that assembles and trains K batches on device.
+    A trailing partial batch (when the dataset keeps it) runs as its own
+    [1, rem] chunk — a second compile shape, identical every epoch."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    n_batches = len(dataset)
+    log_every = max(1, int(n_batches * log_interval_frac))
+    total_loss = jnp.zeros((), jnp.float32)
+    total_correct = jnp.zeros((), jnp.int32)
+    total_seen = 0
+    done = 0
+
+    order = dataset.epoch_order()
+    bs = dataset.batch_size
+    n_full = dataset.n // bs
+    full = order[: n_full * bs].reshape(n_full, bs)
+    chunks = [full[i : i + fused_steps]
+              for i in range(0, n_full, fused_steps)]
+    rem = dataset.n - n_full * bs
+    if rem and not dataset.drop_last:
+        chunks.append(order[n_full * bs :].reshape(1, rem))
+
+    for chunk in chunks:
+        rng, sub = jax.random.split(rng)
+        state, losses, corrects = gather_step(
+            state, dataset.images, dataset.labels, dataset.mean,
+            dataset.std, jnp.asarray(chunk.astype(np.int32)), sub,
+        )
+        b = chunk.shape[1]
+        total_loss = total_loss + jnp.sum(losses) * b
+        total_correct = total_correct + jnp.sum(corrects)
+        total_seen += chunk.size
+        done += chunk.shape[0]
+        if verbose and done % log_every < fused_steps:
+            elapsed = time.perf_counter() - t0
+            print(
+                f"  epoch {epoch} [{done}/{n_batches}] "
+                f"loss {float(total_loss) / total_seen:.4f} "
+                f"acc {100.0 * float(total_correct) / total_seen:.2f}% "
+                f"({elapsed:.1f}s)",
+                flush=True,
+            )
 
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     final_loss = float(total_loss + 0.0 * jnp.sum(leaf.astype(jnp.float32)))

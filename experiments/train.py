@@ -332,7 +332,7 @@ def main(argv=None, shared=None):
         if not args.quiet:
             print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
-    multi_step = None
+    multi_step = gather_step = None
     if shared is not None and shared.get("train_step") is not None:
         train_step = shared["train_step"]
         eval_step = shared["eval_step"]
@@ -391,10 +391,18 @@ def main(argv=None, shared=None):
                                      grad_accum=args.grad_accum,
                                      label_smoothing=args.label_smoothing)
         if args.fused_steps > 1:
-            from efficient_rpe_vit_tpu.train import make_multi_step
+            from efficient_rpe_vit_tpu.train import (
+                make_gather_multi_step,
+                make_multi_step,
+            )
 
             multi_step = make_multi_step(
                 model, donate=True, label_smoothing=args.label_smoothing)
+            if hasattr(train_ds, "images"):  # device-resident: fuse the
+                gather_step = make_gather_multi_step(  # gather too
+                    model, donate=True,
+                    label_smoothing=args.label_smoothing,
+                    augment=train_ds.augment)
         eval_step = make_eval_step(model)
         if shared is not None:
             shared["train_step"] = train_step
@@ -441,7 +449,8 @@ def main(argv=None, shared=None):
             state, tm = train_epoch(
                 state, train_step, train_ds, epoch_key, epoch=epoch,
                 log_interval_frac=args.log_interval, verbose=not args.quiet,
-                multi_step=multi_step, fused_steps=args.fused_steps,
+                multi_step=multi_step, gather_step=gather_step,
+                fused_steps=args.fused_steps,
             )
         if profiling:
             try:

@@ -695,3 +695,48 @@ def test_train_epoch_fused_matches_plain(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
                     jax.tree_util.tree_leaves(s_fused.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_train_epoch_gather_fused_matches_plain(rng):
+    """The gather-fused driver (batch assembly inside the scan) produces
+    the same updates and metrics as the per-batch loop, including the
+    partial tail batch as its own [1, rem] chunk."""
+    from efficient_rpe_vit_tpu.train import make_gather_multi_step
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    ds = _dummy_dataset(n=88, bs=16)  # 5 full batches + tail of 8
+    ds.shuffle = False
+    ds.drop_last = False
+    step = make_train_step(model)
+    gstep = make_gather_multi_step(model, donate=False)
+
+    s_plain, m_plain = train_epoch(state, step, ds, rng, verbose=False)
+    s_fused, m_fused = train_epoch(state, step, ds, rng, verbose=False,
+                                   gather_step=gstep, fused_steps=2)
+    assert m_fused["samples"] == m_plain["samples"] == 88
+    assert m_fused["loss"] == pytest.approx(m_plain["loss"], abs=1e-5)
+    assert m_fused["accuracy"] == pytest.approx(m_plain["accuracy"])
+    for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
+                    jax.tree_util.tree_leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_train_epoch_gather_fused_augmented_trains(rng):
+    """Augmentation inside the scan: finite losses, full sample count,
+    params actually move."""
+    from efficient_rpe_vit_tpu.train import make_gather_multi_step
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    ds = _dummy_dataset(n=64, bs=16)
+    gstep = make_gather_multi_step(model, donate=False, augment="mnist")
+    s2, m = train_epoch(state, None, ds, rng, verbose=False,
+                        gather_step=gstep, fused_steps=4)
+    assert m["samples"] == 64
+    assert np.isfinite(m["loss"])
+    before = jax.tree_util.tree_leaves(state.params)[0]
+    after = jax.tree_util.tree_leaves(s2.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
