@@ -437,6 +437,37 @@ def make_eval_step(model) -> Callable:
     return eval_step
 
 
+def make_gather_multi_eval(model) -> Callable:
+    """K eval forwards per program with batch assembly inside the scan
+    (the eval-side mirror of `make_gather_multi_step`; no augmentation —
+    eval pipelines never augment).
+
+    Signature: `gather_multi_eval(state, images_u8, labels_all, mean,
+    std, idx [K, B]) -> (losses [K], corrects [K], preds [K, B])`.
+    """
+
+    @jax.jit
+    def gather_multi_eval(state: TrainState, images_u8, labels_all,
+                          mean, std, idx):
+        variables = {"params": state.params}
+        if state.constants is not None:
+            variables["constants"] = state.constants
+
+        def body(_, rows):
+            x = jnp.take(images_u8, rows, axis=0).astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            y = jnp.take(labels_all, rows, axis=0)
+            logits = model.apply(variables, x, deterministic=True)
+            loss = cross_entropy_loss(logits, y)
+            preds = jnp.argmax(logits, -1)
+            return None, (loss, jnp.sum(preds == y), preds)
+
+        _, (losses, corrects, preds) = jax.lax.scan(body, None, idx)
+        return losses, corrects, preds
+
+    return gather_multi_eval
+
+
 def train_epoch(
     state: TrainState,
     train_step: Callable,
@@ -642,9 +673,20 @@ def evaluate(
     dataset,
     num_classes: Optional[int] = None,
     detailed: bool = False,
+    gather_eval: Optional[Callable] = None,
+    fused_steps: int = 1,
 ) -> Dict[str, float]:
     """Full-split evaluation (reference: training.py:107-207); optionally
-    adds precision/recall/F1 via the native metrics module."""
+    adds precision/recall/F1 via the native metrics module.
+
+    Pass `gather_eval` (from `make_gather_multi_eval`) and `fused_steps=K`
+    with a device-resident dataset to run the split in K-forward fused
+    chunks (one dispatch per chunk, index arrays only across the host
+    boundary) — same driver shape as the gather-fused train epoch."""
+    if (gather_eval is not None and fused_steps > 1
+            and hasattr(dataset, "images")):
+        return _evaluate_gather_fused(
+            state, gather_eval, dataset, num_classes, detailed, fused_steps)
     total_loss = jnp.zeros((), jnp.float32)
     total_correct = jnp.zeros((), jnp.int32)
     total_seen = 0
@@ -671,6 +713,52 @@ def evaluate(
         detail = compute_classification_metrics(preds, labels, num_classes)
         # keep the percentage-scale accuracy computed above; the detailed
         # dict's 'accuracy' is a 0-1 fraction and must not clobber it
+        detail.pop("accuracy", None)
+        out.update(detail)
+    return out
+
+
+def _evaluate_gather_fused(state, gather_eval, dataset, num_classes,
+                           detailed, fused_steps):
+    """Gather-fused evaluation driver (see evaluate)."""
+    import numpy as np
+
+    order = np.arange(dataset.n)
+    bs = dataset.batch_size
+    n_full = dataset.n // bs
+    full = order[: n_full * bs].reshape(n_full, bs)
+    chunks = [full[i : i + fused_steps]
+              for i in range(0, n_full, fused_steps)]
+    rem = dataset.n - n_full * bs
+    if rem and not dataset.drop_last:
+        chunks.append(order[n_full * bs :].reshape(1, rem))
+
+    total_loss = jnp.zeros((), jnp.float32)
+    total_correct = jnp.zeros((), jnp.int32)
+    total_seen = 0
+    all_preds = []
+    for chunk in chunks:
+        losses, corrects, preds = gather_eval(
+            state, dataset.images, dataset.labels, dataset.mean,
+            dataset.std, jnp.asarray(chunk.astype(np.int32)),
+        )
+        total_loss = total_loss + jnp.sum(losses) * chunk.shape[1]
+        total_correct = total_correct + jnp.sum(corrects)
+        total_seen += chunk.size
+        if detailed:
+            all_preds.append(preds.reshape(-1))
+    out = {
+        "loss": float(total_loss) / max(1, total_seen),
+        "accuracy": 100.0 * float(total_correct) / max(1, total_seen),
+        "samples": total_seen,
+    }
+    if detailed and all_preds:
+        from .metrics import compute_classification_metrics
+
+        preds = jnp.concatenate(all_preds)
+        used = np.concatenate([c.reshape(-1) for c in chunks])
+        labels = jnp.take(dataset.labels, jnp.asarray(used), axis=0)
+        detail = compute_classification_metrics(preds, labels, num_classes)
         detail.pop("accuracy", None)
         out.update(detail)
     return out

@@ -332,7 +332,7 @@ def main(argv=None, shared=None):
         if not args.quiet:
             print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
-    multi_step = gather_step = None
+    multi_step = gather_step = gather_eval = None
     if shared is not None and shared.get("train_step") is not None:
         train_step = shared["train_step"]
         eval_step = shared["eval_step"]
@@ -392,6 +392,7 @@ def main(argv=None, shared=None):
                                      label_smoothing=args.label_smoothing)
         if args.fused_steps > 1:
             from efficient_rpe_vit_tpu.train import (
+                make_gather_multi_eval,
                 make_gather_multi_step,
                 make_multi_step,
             )
@@ -403,6 +404,7 @@ def main(argv=None, shared=None):
                     model, donate=True,
                     label_smoothing=args.label_smoothing,
                     augment=train_ds.augment)
+                gather_eval = make_gather_multi_eval(model)
         eval_step = make_eval_step(model)
         if shared is not None:
             shared["train_step"] = train_step
@@ -459,7 +461,9 @@ def main(argv=None, shared=None):
                     print(f"Profiler trace written to {args.profile}")
             except Exception as e:  # pragma: no cover
                 print(f"[warn] profiler stop failed: {e}")
-        em = evaluate(state.eval_view(), eval_step, test_ds)
+        em = evaluate(state.eval_view(), eval_step, test_ds,
+                      gather_eval=gather_eval,
+                      fused_steps=args.fused_steps)
         per_epoch.append({
             "epoch": epoch,
             "train_loss": tm["loss"],
@@ -498,7 +502,9 @@ def main(argv=None, shared=None):
     if args.eval_detailed or not per_epoch:
         final_eval = evaluate(state.eval_view(), eval_step, test_ds,
                               num_classes=m.num_classes,
-                              detailed=args.eval_detailed)
+                              detailed=args.eval_detailed,
+                              gather_eval=gather_eval,
+                              fused_steps=args.fused_steps)
     else:
         # the epoch loop's last evaluation IS the final evaluation — avoid
         # a duplicated full-test-set pass per run

@@ -740,3 +740,28 @@ def test_train_epoch_gather_fused_augmented_trains(rng):
     before = jax.tree_util.tree_leaves(state.params)[0]
     after = jax.tree_util.tree_leaves(s2.params)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_evaluate_gather_fused_matches_plain(rng):
+    """Fused evaluation (assembly inside the scan) matches the per-batch
+    evaluate() on loss/accuracy and detailed metrics, incl. the tail."""
+    from efficient_rpe_vit_tpu.train import make_gather_multi_eval
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, 28, 28, 1)))
+    ds = _dummy_dataset(n=88, bs=16)
+    ds.shuffle = False
+    ds.drop_last = False
+    eval_step = make_eval_step(model)
+    geval = make_gather_multi_eval(model)
+
+    plain = evaluate(state, eval_step, ds, num_classes=10, detailed=True)
+    fused = evaluate(state, eval_step, ds, num_classes=10, detailed=True,
+                     gather_eval=geval, fused_steps=3)
+    assert fused["samples"] == plain["samples"] == 88
+    assert fused["loss"] == pytest.approx(plain["loss"], abs=1e-5)
+    assert fused["accuracy"] == pytest.approx(plain["accuracy"])
+    assert fused["f1_macro"] == pytest.approx(plain["f1_macro"], abs=1e-6)
+    np.testing.assert_array_equal(np.asarray(fused["confusion_matrix"]),
+                                  np.asarray(plain["confusion_matrix"]))
