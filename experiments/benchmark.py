@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--augmentation", action="store_true", default=None)
     p.add_argument("--grad-accum", type=int, default=None,
                    help="forwarded to train.py --grad-accum")
+    p.add_argument("--fused-steps", type=int, default=None,
+                   help="forwarded to train.py --fused-steps (K-step "
+                        "fused dispatch)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="forwarded to train.py --ema-decay")
     p.add_argument("--label-smoothing", type=float, default=None,
@@ -116,6 +119,8 @@ def run_single_training(model: str, seed: int, run_dir: str, args,
         cli += ["--augmentation"]
     if args.grad_accum is not None:
         cli += ["--grad-accum", str(args.grad_accum)]
+    if args.fused_steps is not None:
+        cli += ["--fused-steps", str(args.fused_steps)]
     if args.ema_decay is not None:
         cli += ["--ema-decay", str(args.ema_decay)]
     if args.label_smoothing is not None:
@@ -178,6 +183,7 @@ def main(argv=None):
         "mlp_type": args.mlp_type, "num_experts": args.num_experts,
         "num_features": args.num_features,
         "grad_accum": args.grad_accum, "ema_decay": args.ema_decay,
+        "fused_steps": args.fused_steps,
         "label_smoothing": args.label_smoothing, "remat": args.remat,
         "mesh": args.mesh, "depth": args.depth,
         "microbatches": args.microbatches,
