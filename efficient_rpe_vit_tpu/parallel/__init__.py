@@ -12,6 +12,7 @@ from .seq_parallel import (
 )
 from .train_parallel import (
     make_parallel_train_step,
+    make_parallel_multi_step,
     create_sharded_train_state,
     parallel_train_epoch,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "shard_pytree",
     "batch_spec",
     "make_parallel_train_step",
+    "make_parallel_multi_step",
     "create_sharded_train_state",
     "parallel_train_epoch",
     "make_pipeline_train_step",

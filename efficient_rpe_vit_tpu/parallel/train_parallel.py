@@ -236,23 +236,132 @@ def make_parallel_train_step(model, mesh: Mesh, specs: TrainState,
     )
 
 
+def make_parallel_multi_step(model, mesh: Mesh, specs: TrainState,
+                             donate: bool = True,
+                             label_smoothing: float = 0.0) -> Callable:
+    """K sharded optimizer steps in ONE jitted program (fused dispatch x
+    data/model parallelism — the mesh analogue of
+    training.py::make_multi_step).
+
+    Signature: (state, images [K, B_global, ...], labels [K, B_global],
+    dropout_key) -> (state, losses [K], corrects [K]). The stacked batch
+    axes shard as P(None, 'data', ...): every device scans its own batch
+    shard through all K steps, and XLA inserts the per-step gradient
+    all-reduce over 'data' inside the scan body from the annotations
+    alone. Bit-equal to K calls of the `make_parallel_train_step` step
+    with keys `fold_in(dropout_key, i)` (tests/test_parallel.py).
+    """
+    bspec = batch_spec()
+    stacked_sharding = NamedSharding(mesh, P(None, *bspec))
+    repl = NamedSharding(mesh, P())
+
+    def to_shardings(spec_tree):
+        return jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), spec_tree,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    state_shardings = TrainState(
+        step=repl,
+        params=to_shardings(specs.params),
+        opt_state=to_shardings(specs.opt_state),
+        tx=specs.tx,
+        constants=(
+            to_shardings(specs.constants) if specs.constants is not None
+            else None
+        ),
+        mutable_state=(
+            to_shardings(specs.mutable_state)
+            if specs.mutable_state is not None else None
+        ),
+        ema_params=(
+            to_shardings(specs.ema_params)
+            if specs.ema_params is not None else None
+        ),
+        ema_decay=specs.ema_decay,
+    )
+    grad_fn = jax.value_and_grad(
+        make_micro_loss(model, label_smoothing), has_aux=True)
+
+    def multi_fn(state: TrainState, images, labels, dropout_key):
+        k = images.shape[0]
+        redraw_mode = state.mutable_state is not None
+
+        def body(st, inp):
+            x, y, i = inp
+            key = jax.random.fold_in(dropout_key, i)
+            (loss, (correct, updates)), grads = grad_fn(
+                st.params, st.constants, st.mutable_state, x, y, key)
+            st = st.apply_gradients(grads)
+            if redraw_mode:
+                st = st.replace(
+                    constants=updates.get("constants", st.constants),
+                    mutable_state=updates.get("state", st.mutable_state),
+                )
+            return st, (loss, correct)
+
+        state, (losses, corrects) = jax.lax.scan(
+            body, state, (images, labels, jnp.arange(k)))
+        return state, losses, corrects
+
+    return jax.jit(
+        multi_fn,
+        in_shardings=(state_shardings, stacked_sharding,
+                      NamedSharding(mesh, P(None, *bspec)), repl),
+        out_shardings=(state_shardings, repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def parallel_train_epoch(
     state: TrainState,
     train_step: Callable,
     dataset,
     rng,
     mesh: Mesh,
+    multi_step: Callable = None,
+    fused_steps: int = 1,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """One epoch with the sharded step; dataset batches are placed with the
-    batch sharding so each device reads only its shard."""
+    batch sharding so each device reads only its shard.
+
+    Pass `multi_step` (from `make_parallel_multi_step`) and
+    `fused_steps=K` to dispatch in K-step fused chunks (same buffering
+    semantics as training.py::train_epoch)."""
     import time
 
     data_sharding = NamedSharding(mesh, batch_spec())
+    stacked_sharding = NamedSharding(mesh, P(None, *batch_spec()))
     t0 = time.perf_counter()
     total_loss = jnp.zeros((), jnp.float32)  # device-side accumulation
     total_correct = jnp.zeros((), jnp.int32)
     total_seen = 0
+    buf_x, buf_y = [], []
+
+    def flush():
+        nonlocal state, total_loss, total_correct, total_seen, rng
+        nonlocal buf_x, buf_y
+        if not buf_x:
+            return
+        rng, sub = jax.random.split(rng)
+        xs = jax.device_put(jnp.stack(buf_x), stacked_sharding)
+        ys = jax.device_put(jnp.stack(buf_y), stacked_sharding)
+        b = buf_x[0].shape[0]
+        state, losses, corrects = multi_step(state, xs, ys, sub)
+        total_loss = total_loss + jnp.sum(losses) * b
+        total_correct = total_correct + jnp.sum(corrects)
+        total_seen += len(buf_x) * b
+        buf_x, buf_y = [], []
+
     for images, labels in dataset:
+        if multi_step is not None and fused_steps > 1:
+            if buf_x and images.shape != buf_x[0].shape:
+                flush()
+            buf_x.append(images)
+            buf_y.append(labels)
+            if len(buf_x) == fused_steps:
+                flush()
+            continue
         rng, sub = jax.random.split(rng)
         images = jax.device_put(images, data_sharding)
         labels = jax.device_put(labels, data_sharding)
@@ -260,6 +369,7 @@ def parallel_train_epoch(
         total_loss = total_loss + loss * images.shape[0]
         total_correct = total_correct + correct
         total_seen += images.shape[0]
+    flush()
     # value fetch = true barrier (utils/timing.py), before reading the
     # clock; folding in a param leaf forces the final step's update too
     leaf = jax.tree_util.tree_leaves(state.params)[0]

@@ -497,3 +497,70 @@ def test_parallel_grad_accum_matches_plain():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_parallel_multi_step_matches_sequential(rng):
+    """make_parallel_multi_step(K) on a DPxTP mesh == K sequential sharded
+    steps with fold_in(key, i) keys — same params, losses, corrects."""
+    from efficient_rpe_vit_tpu.parallel import make_parallel_multi_step
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor_most_general", cfg)
+    mesh = make_mesh(n_model=2)
+    sample = jnp.zeros((2, 28, 28, 1))
+    state, specs = create_sharded_train_state(model, cfg, rng, sample, mesh)
+    step = make_parallel_train_step(model, mesh, specs, donate=False)
+    multi = make_parallel_multi_step(model, mesh, specs, donate=False)
+
+    K, B = 3, 8
+    xs = jax.random.normal(rng, (K, B, 28, 28, 1))
+    ys = (jnp.arange(K * B) % 10).reshape(K, B)
+
+    seq_state = state
+    seq_losses = []
+    for i in range(K):
+        key = jax.random.fold_in(rng, i)
+        seq_state, loss, _ = step(seq_state, xs[i], ys[i], key)
+        seq_losses.append(float(loss))
+
+    fused_state, losses, corrects = multi(state, xs, ys, rng)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(seq_state.params),
+                    jax.tree_util.tree_leaves(fused_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # outputs keep their mesh shardings
+    leaf = jax.tree_util.tree_leaves(fused_state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_parallel_epoch_fused_matches_plain(rng):
+    """parallel_train_epoch with fused chunks == the per-batch sharded
+    loop (deterministic model), including the buffered tail."""
+    from efficient_rpe_vit_tpu.data import DeviceDataset
+    from efficient_rpe_vit_tpu.parallel import (
+        make_parallel_multi_step,
+        parallel_train_epoch,
+    )
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    mesh = make_mesh()  # pure DP over 8 devices
+    sample = jnp.zeros((2, 28, 28, 1))
+    state, specs = create_sharded_train_state(model, cfg, rng, sample, mesh)
+    step = make_parallel_train_step(model, mesh, specs, donate=False)
+    multi = make_parallel_multi_step(model, mesh, specs, donate=False)
+
+    rngd = np.random.default_rng(0)
+    imgs = rngd.integers(0, 256, (96, 28, 28, 1), dtype=np.uint8)
+    labels = rngd.integers(0, 10, 96)
+    ds = DeviceDataset(imgs, labels, (0.1307,), (0.3081,), 16,
+                       shuffle=False, drop_last=True, seed=0)
+
+    s_plain, m_plain = parallel_train_epoch(state, step, ds, rng, mesh)
+    s_fused, m_fused = parallel_train_epoch(state, step, ds, rng, mesh,
+                                            multi_step=multi, fused_steps=4)
+    assert m_fused["samples"] == m_plain["samples"] == 96
+    assert m_fused["loss"] == pytest.approx(m_plain["loss"], abs=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
+                    jax.tree_util.tree_leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
