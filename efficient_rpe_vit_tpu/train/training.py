@@ -361,37 +361,79 @@ def make_multi_step(model, donate: bool = True,
     return multi_step
 
 
-def make_gather_multi_step(model, donate: bool = True,
-                           label_smoothing: float = 0.0,
-                           augment: Optional[str] = None) -> Callable:
-    """K train steps per program with the batch ASSEMBLY inside the scan.
+def create_ensemble_train_state(model, config, rngs, sample_input,
+                                steps_per_epoch: int = 100,
+                                ema_decay: float = 0.0) -> TrainState:
+    """TrainState for S seeds at once: every array leaf gains a leading
+    member axis [S, ...] (params, optimizer state, step counters). Used
+    with the `make_ensemble_*` steps, which vmap one member's program
+    over the stack — S independent models train simultaneously in one
+    XLA computation (the reference trains its benchmark seeds as
+    sequential subprocesses, experiments/benchmark.py:155-225)."""
+    states = [
+        create_train_state(model, config, r, sample_input,
+                           steps_per_epoch=steps_per_epoch,
+                           ema_decay=ema_decay)
+        for r in rngs
+    ]
+    # share ONE optimizer transform: each create_train_state builds fresh
+    # optax closures, which are static pytree aux data — stacking requires
+    # them identical, and the vmapped step only ever calls one
+    states = [states[0]] + [s.replace(tx=states[0].tx) for s in states[1:]]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
-    Signature: `gather_multi_step(state, images_u8 [n, H, W, C],
-    labels_all [n], mean [C], std [C], idx [K, B], dropout_key) ->
-    (state, losses [K], corrects [K])`. Each scan iteration gathers its
-    batch rows from the device-resident uint8 dataset, normalises (and
-    optionally augments) on device, and runs one complete optimizer step —
-    so a whole epoch chunk is ONE dispatch and the only per-chunk
-    host->device traffic is the [K, B] int32 index array.
 
-    This removes what the stacked `make_multi_step` leaves behind: with
-    the step itself fused, the per-batch `_gather_batch` dispatches
-    dominate a real epoch (~2.5 ms of tunnel dispatch for ~us of gather
-    work each, docs/BENCHMARKING.md "fused multi-step").
+def ensemble_member(state: TrainState, i: int) -> TrainState:
+    """Slice member i out of an ensemble TrainState (for checkpointing /
+    evaluating one seed's model)."""
+    return jax.tree_util.tree_map(lambda x: x[i], state)
 
-    Augmentation draws its key from the same per-step `fold_in` chain as
-    dropout (the unfused pipeline uses the dataset's own key stream —
-    both are valid dropout/augment randomness; equality tests disable
-    augmentation).
+
+def make_ensemble_train_step(model, donate: bool = False,
+                             label_smoothing: float = 0.0) -> Callable:
+    """One optimizer step for ALL ensemble members in one program.
+
+    Signature: (state [S-stacked], images [B, ...], labels [B],
+    dropout_keys [S, 2]) -> (state, losses [S], corrects [S]). The batch
+    is SHARED across members (in_axes None) — members differ by init and
+    dropout/redraw randomness, like the reference's multi-seed benchmark
+    runs differ by seed. vmap turns the S member programs into batched
+    matmuls, so small models recover MXU/HBM utilisation that a single
+    dim-32 member leaves idle.
     """
+    grad_fn = jax.value_and_grad(
+        make_micro_loss(model, label_smoothing), has_aux=True)
+
+    def step_fn(state: TrainState, images, labels, dropout_key):
+        redraw_mode = state.mutable_state is not None
+        (loss, (correct, updates)), grads = grad_fn(
+            state.params, state.constants, state.mutable_state,
+            images, labels, dropout_key)
+        new_state = state.apply_gradients(grads)
+        if redraw_mode:
+            new_state = new_state.replace(
+                constants=updates.get("constants", new_state.constants),
+                mutable_state=updates.get("state", new_state.mutable_state),
+            )
+        return new_state, loss, correct
+
+    return jax.jit(
+        jax.vmap(step_fn, in_axes=(0, None, None, 0)),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def _gather_multi_core(model, label_smoothing: float = 0.0,
+                       augment: Optional[str] = None) -> Callable:
+    """Un-jitted K-step gather-fused program (shared by the single-model
+    and ensemble builders below)."""
     from ..data.pipeline import augment_cifar, augment_mnist
 
     micro_loss = make_micro_loss(model, label_smoothing)
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def gather_multi_step(state: TrainState, images_u8, labels_all,
-                          mean, std, idx, dropout_key):
+    def gather_multi_fn(state: TrainState, images_u8, labels_all,
+                        mean, std, idx, dropout_key):
         k = idx.shape[0]
         redraw_mode = state.mutable_state is not None
 
@@ -419,7 +461,53 @@ def make_gather_multi_step(model, donate: bool = True,
             body, state, (idx, jnp.arange(k)))
         return state, losses, corrects
 
-    return gather_multi_step
+    return gather_multi_fn
+
+
+def make_ensemble_gather_multi_step(model, donate: bool = True,
+                                    label_smoothing: float = 0.0,
+                                    augment: Optional[str] = None) -> Callable:
+    """K gather-fused train steps for ALL ensemble members in one program
+    (compose `make_gather_multi_step` x `make_ensemble_train_step`):
+    (state [S-stacked], images_u8, labels_all, mean, std, idx [K, B],
+    dropout_keys [S, 2]) -> (state, losses [S, K], corrects [S, K]).
+    Members share the epoch's batch order; each member scans its own
+    dropout/augment key chain. An entire S-seed x K-step epoch chunk is
+    ONE dispatch."""
+    core = _gather_multi_core(model, label_smoothing, augment)
+    return jax.jit(
+        jax.vmap(core, in_axes=(0, None, None, None, None, None, 0)),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_gather_multi_step(model, donate: bool = True,
+                           label_smoothing: float = 0.0,
+                           augment: Optional[str] = None) -> Callable:
+    """K train steps per program with the batch ASSEMBLY inside the scan.
+
+    Signature: `gather_multi_step(state, images_u8 [n, H, W, C],
+    labels_all [n], mean [C], std [C], idx [K, B], dropout_key) ->
+    (state, losses [K], corrects [K])`. Each scan iteration gathers its
+    batch rows from the device-resident uint8 dataset, normalises (and
+    optionally augments) on device, and runs one complete optimizer step —
+    so a whole epoch chunk is ONE dispatch and the only per-chunk
+    host->device traffic is the [K, B] int32 index array.
+
+    This removes what the stacked `make_multi_step` leaves behind: with
+    the step itself fused, the per-batch `_gather_batch` dispatches
+    dominate a real epoch (~2.5 ms of tunnel dispatch for ~us of gather
+    work each, docs/BENCHMARKING.md "fused multi-step").
+
+    Augmentation draws its key from the same per-step `fold_in` chain as
+    dropout (the unfused pipeline uses the dataset's own key stream —
+    both are valid dropout/augment randomness; equality tests disable
+    augmentation).
+    """
+    return jax.jit(
+        _gather_multi_core(model, label_smoothing, augment),
+        donate_argnums=(0,) if donate else (),
+    )
 
 
 def make_eval_step(model) -> Callable:

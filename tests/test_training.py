@@ -765,3 +765,77 @@ def test_evaluate_gather_fused_matches_plain(rng):
     assert fused["f1_macro"] == pytest.approx(plain["f1_macro"], abs=1e-6)
     np.testing.assert_array_equal(np.asarray(fused["confusion_matrix"]),
                                   np.asarray(plain["confusion_matrix"]))
+
+
+def test_ensemble_step_matches_independent_members(rng):
+    """A vmapped ensemble step == each member stepped independently with
+    its own init and dropout key (shared batch)."""
+    from efficient_rpe_vit_tpu.train import (
+        create_ensemble_train_state,
+        ensemble_member,
+        make_ensemble_train_step,
+    )
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor_most_general", cfg)
+    S = 3
+    rngs = [jax.random.fold_in(rng, i) for i in range(S)]
+    sample = jnp.zeros((2, 28, 28, 1))
+    ens = create_ensemble_train_state(model, cfg, rngs, sample)
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    y = jnp.arange(8) % 10
+    keys = jnp.stack([jax.random.fold_in(rng, 100 + i) for i in range(S)])
+
+    ens_step = make_ensemble_train_step(model)
+    new_ens, losses, corrects = ens_step(ens, x, y, keys)
+    assert losses.shape == (S,) and corrects.shape == (S,)
+
+    step = make_train_step(model)
+    for i in range(S):
+        st = create_train_state(model, cfg, rngs[i], sample)
+        st2, loss, correct = step(st, x, y, keys[i])
+        assert float(loss) == pytest.approx(float(losses[i]), abs=1e-5)
+        member = ensemble_member(new_ens, i)
+        for a, b in zip(jax.tree_util.tree_leaves(st2.params),
+                        jax.tree_util.tree_leaves(member.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
+def test_ensemble_gather_multi_matches_independent(rng):
+    """The S-member K-step gather-fused program == each member run through
+    its own single-model gather-fused chunk."""
+    from efficient_rpe_vit_tpu.train import (
+        create_ensemble_train_state,
+        ensemble_member,
+        make_ensemble_gather_multi_step,
+        make_gather_multi_step,
+    )
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    S, K, B = 2, 3, 8
+    rngs = [jax.random.fold_in(rng, i) for i in range(S)]
+    sample = jnp.zeros((2, 28, 28, 1))
+    ens = create_ensemble_train_state(model, cfg, rngs, sample)
+    ds = _dummy_dataset(n=K * B, bs=B)
+    idx = jnp.arange(K * B, dtype=jnp.int32).reshape(K, B)
+    keys = jnp.stack([jax.random.fold_in(rng, 100 + i) for i in range(S)])
+
+    ens_step = make_ensemble_gather_multi_step(model, donate=False)
+    new_ens, losses, corrects = ens_step(
+        ens, ds.images, ds.labels, ds.mean, ds.std, idx, keys)
+    assert losses.shape == (S, K)
+
+    gstep = make_gather_multi_step(model, donate=False)
+    for i in range(S):
+        st = create_train_state(model, cfg, rngs[i], sample)
+        st2, li, _ = gstep(st, ds.images, ds.labels, ds.mean, ds.std,
+                           idx, keys[i])
+        np.testing.assert_allclose(np.asarray(li), np.asarray(losses[i]),
+                                   rtol=1e-5)
+        member = ensemble_member(new_ens, i)
+        for a, b in zip(jax.tree_util.tree_leaves(st2.params),
+                        jax.tree_util.tree_leaves(member.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
