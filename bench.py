@@ -6,8 +6,9 @@ Replicates the reference's benchmarked configuration
 inputs at sequence length 197 (28x28, patch 2 -> 196 patches + CLS),
 batch 256 — where the reference reports 500-800 images/sec on a single GPU.
 
-Measures the full jitted training step (forward + backward + optimizer) and
-prints ONE JSON line:
+Measures the full training step (forward + backward + optimizer), dispatched
+as K-step fused `lax.scan` programs (`make_multi_step` — the framework's
+production dispatch path, `train.py --fused-steps`), and prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is against the reference's midpoint (650 img/s).
 """
@@ -22,11 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_IMAGES_PER_SEC = 650.0  # reference midpoint of 500-800 img/s
 BATCH = 256
-WARMUP_STEPS = 5
-# Enough steps that the ~25 ms value-fetch barrier round trip is <3% of the
-# timed region (utils/timing.py: block_until_ready is NOT a trustworthy
-# barrier through the TPU tunnel — only a host value fetch is).
-TIMED_STEPS = 150
+# K complete optimizer steps per dispatch (make_multi_step: one lax.scan
+# program, the TPU-native analogue of CUDA-graph step capture). Even at
+# this batch size the ~3 ms/call tunnel dispatch costs ~15% of the 6.4 ms
+# step — fusing K steps amortises it away (measured +15% end-to-end;
+# docs/BENCHMARKING.md "fused multi-step").
+FUSED_K = 25
+WARMUP_CALLS = 2
+# Enough fused calls that the ~25 ms value-fetch barrier round trip is
+# <0.1% of the timed region (utils/timing.py: block_until_ready is NOT a
+# trustworthy barrier through the TPU tunnel — only a host value fetch is).
+TIMED_CALLS = 8
 HEALTH_TIMEOUT_S = 300  # first TPU compile can take minutes via the tunnel
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip (public spec).
 PEAK_FLOPS_BF16 = 197e12
@@ -82,7 +89,10 @@ import jax.numpy as jnp  # noqa: E402
 def main():
     from efficient_rpe_vit_tpu.configs import mnist_config
     from efficient_rpe_vit_tpu.models import create_model
-    from efficient_rpe_vit_tpu.train import create_train_state, make_train_step
+    from efficient_rpe_vit_tpu.train import (
+        create_train_state,
+        make_multi_step,
+    )
 
     # reference benchmark conditions: seq len 196 patches -> patch_size 2.
     # bfloat16 compute (fp32 params/accumulation) is the TPU-native policy:
@@ -95,11 +105,16 @@ def main():
     m = cfg.model
     sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
     state = create_train_state(model, cfg, rng, sample, steps_per_epoch=100)
-    train_step = make_train_step(model, donate=True)
+    multi_step = make_multi_step(model, donate=True)
 
     images = jax.random.normal(rng, (BATCH, m.image_size, m.image_size,
                                      m.in_channels))
     labels = jnp.arange(BATCH) % m.num_classes
+    # K stacked copies of the batch: each scan iteration is one complete
+    # optimizer step on a [BATCH]-sized batch (the reference's protocol),
+    # dispatched K-at-a-time
+    images_k = jax.device_put(jnp.broadcast_to(images, (FUSED_K,) + images.shape))
+    labels_k = jax.device_put(jnp.broadcast_to(labels, (FUSED_K,) + labels.shape))
 
     def chain_barrier(state, loss):
         """Value fetch covering the ENTIRE chain: the loss alone forces only
@@ -111,19 +126,19 @@ def main():
         return float(loss + 0.0 * jnp.sum(leaf.astype(jnp.float32)))
 
     key = rng
-    for _ in range(WARMUP_STEPS):
+    for _ in range(WARMUP_CALLS):
         key, sub = jax.random.split(key)
-        state, loss, _ = train_step(state, images, labels, sub)
-    chain_barrier(state, loss)
+        state, losses, _ = multi_step(state, images_k, labels_k, sub)
+    chain_barrier(state, losses[-1])
 
     t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
+    for _ in range(TIMED_CALLS):
         key, sub = jax.random.split(key)
-        state, loss, _ = train_step(state, images, labels, sub)
-    chain_barrier(state, loss)
+        state, losses, _ = multi_step(state, images_k, labels_k, sub)
+    chain_barrier(state, losses[-1])
     elapsed = time.perf_counter() - t0
 
-    images_per_sec = BATCH * TIMED_STEPS / elapsed
+    images_per_sec = BATCH * FUSED_K * TIMED_CALLS / elapsed
     result = {
         "metric": "kerple_train_throughput_seq197_bs256",
         "value": round(images_per_sec, 1),
@@ -137,17 +152,23 @@ def main():
     # step, minutes through the tunnel — review finding). Guarded:
     # availability varies by backend/plugin version.
     try:
+        from efficient_rpe_vit_tpu.train import make_train_step
+
+        # FLOPs from the SINGLE-step program's cost analysis: per-step
+        # FLOPs are identical inside the K-step scan, and lowering/AOT-
+        # compiling the one-step program is minutes cheaper through the
+        # tunnel than recompiling the whole fused program (the axon
+        # plugin only exposes cost analysis on a compiled executable)
+        one_step = make_train_step(model, donate=False)
         key, sub = jax.random.split(key)
-        lowered = train_step.lower(state, images, labels, sub)
+        lowered = one_step.lower(state, images, labels, sub)
         ca = lowered.cost_analysis()
         if not ca or "flops" not in ca:
-            # some backends (the axon plugin) only provide cost analysis on
-            # the compiled executable; pay the AOT compile there
             ca = lowered.compile().cost_analysis()
-        flops = float(ca["flops"])
+        flops = float(ca["flops"])  # one optimizer step
         result["flops_per_step"] = flops
         result["mfu"] = round(
-            flops * TIMED_STEPS / elapsed / PEAK_FLOPS_BF16, 5
+            flops * FUSED_K * TIMED_CALLS / elapsed / PEAK_FLOPS_BF16, 5
         )
     except Exception:
         pass

@@ -525,16 +525,10 @@ def make_eval_step(model) -> Callable:
     return eval_step
 
 
-def make_gather_multi_eval(model) -> Callable:
-    """K eval forwards per program with batch assembly inside the scan
-    (the eval-side mirror of `make_gather_multi_step`; no augmentation —
-    eval pipelines never augment).
+def _gather_eval_core(model) -> Callable:
+    """Un-jitted K-forward gather-fused eval program (shared by the
+    single-model and ensemble builders below)."""
 
-    Signature: `gather_multi_eval(state, images_u8, labels_all, mean,
-    std, idx [K, B]) -> (losses [K], corrects [K], preds [K, B])`.
-    """
-
-    @jax.jit
     def gather_multi_eval(state: TrainState, images_u8, labels_all,
                           mean, std, idx):
         variables = {"params": state.params}
@@ -554,6 +548,124 @@ def make_gather_multi_eval(model) -> Callable:
         return losses, corrects, preds
 
     return gather_multi_eval
+
+
+def make_gather_multi_eval(model) -> Callable:
+    """K eval forwards per program with batch assembly inside the scan
+    (the eval-side mirror of `make_gather_multi_step`; no augmentation —
+    eval pipelines never augment).
+
+    Signature: `gather_multi_eval(state, images_u8, labels_all, mean,
+    std, idx [K, B]) -> (losses [K], corrects [K], preds [K, B])`.
+    """
+    return jax.jit(_gather_eval_core(model))
+
+
+def make_ensemble_gather_multi_eval(model) -> Callable:
+    """K eval forwards for ALL ensemble members in one program (the
+    eval-side mirror of `make_ensemble_gather_multi_step`): (state
+    [S-stacked], images_u8, labels_all, mean, std, idx [K, B]) ->
+    (losses [S, K], corrects [S, K], preds [S, K, B]). Members share the
+    eval batch order (eval is deterministic, so only the state is
+    member-axed)."""
+    return jax.jit(
+        jax.vmap(_gather_eval_core(model),
+                 in_axes=(0, None, None, None, None, None)))
+
+
+def _index_chunks(order, bs: int, n: int, drop_last: bool,
+                  fused_steps: int):
+    """Cut a shuffled index order into rectangular [K, B] chunks (plus one
+    [1, rem] tail chunk when the dataset keeps partial batches)."""
+    import numpy as np
+
+    n_full = n // bs
+    full = order[: n_full * bs].reshape(n_full, bs)
+    chunks = [full[i: i + fused_steps]
+              for i in range(0, n_full, fused_steps)]
+    rem = n - n_full * bs
+    if rem and not drop_last:
+        chunks.append(np.asarray(order[n_full * bs:]).reshape(1, rem))
+    return chunks
+
+
+def ensemble_train_epoch(state: TrainState, ens_gather_step: Callable,
+                         dataset, rng, n_members: int, epoch: int = 0,
+                         fused_steps: int = 64,
+                         verbose: bool = True) -> Tuple[TrainState, Dict]:
+    """One epoch for ALL ensemble members simultaneously (gather-fused).
+
+    The epoch's shuffled index order is shared across members (the
+    reference's benchmark seeds all see the same torchvision loader
+    order up to seed differences; here order is shared and members
+    differ by init + dropout/augment keys). Each [K, B] chunk is ONE
+    dispatch training every member K steps. Returns per-member metrics:
+    `loss`/`accuracy` are length-S lists.
+    """
+    import numpy as np
+
+    t0 = time.perf_counter()
+    total_loss = jnp.zeros((n_members,), jnp.float32)
+    total_correct = jnp.zeros((n_members,), jnp.int32)
+    total_seen = 0
+
+    chunks = _index_chunks(dataset.epoch_order(), dataset.batch_size,
+                           dataset.n, dataset.drop_last, fused_steps)
+    for chunk in chunks:
+        rng, sub = jax.random.split(rng)
+        member_keys = jax.random.split(sub, n_members)
+        state, losses, corrects = ens_gather_step(
+            state, dataset.images, dataset.labels, dataset.mean,
+            dataset.std, jnp.asarray(chunk.astype(np.int32)), member_keys,
+        )
+        total_loss = total_loss + jnp.sum(losses, axis=1) * chunk.shape[1]
+        total_correct = total_correct + jnp.sum(corrects, axis=1)
+        total_seen += chunk.size
+
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    final_loss = np.asarray(
+        total_loss + 0.0 * jnp.sum(leaf.astype(jnp.float32)))
+    epoch_time = time.perf_counter() - t0
+    correct = np.asarray(total_correct)
+    if verbose:
+        accs = 100.0 * correct / max(1, total_seen)
+        print(f"  epoch {epoch} [ensemble x{n_members}] "
+              f"acc {np.min(accs):.2f}-{np.max(accs):.2f}% "
+              f"({epoch_time:.1f}s)", flush=True)
+    return state, {
+        "loss": (final_loss / max(1, total_seen)).tolist(),
+        "accuracy": (100.0 * correct / max(1, total_seen)).tolist(),
+        "time": epoch_time,
+        "samples": total_seen,
+    }
+
+
+def ensemble_evaluate(state: TrainState, ens_gather_eval: Callable,
+                      dataset, n_members: int,
+                      fused_steps: int = 64) -> Dict:
+    """Full-split evaluation of every ensemble member in fused chunks.
+    Returns per-member `loss`/`accuracy` lists (length S)."""
+    import numpy as np
+
+    chunks = _index_chunks(np.arange(dataset.n), dataset.batch_size,
+                           dataset.n, dataset.drop_last, fused_steps)
+    total_loss = jnp.zeros((n_members,), jnp.float32)
+    total_correct = jnp.zeros((n_members,), jnp.int32)
+    total_seen = 0
+    for chunk in chunks:
+        losses, corrects, _ = ens_gather_eval(
+            state, dataset.images, dataset.labels, dataset.mean,
+            dataset.std, jnp.asarray(chunk.astype(np.int32)),
+        )
+        total_loss = total_loss + jnp.sum(losses, axis=1) * chunk.shape[1]
+        total_correct = total_correct + jnp.sum(corrects, axis=1)
+        total_seen += chunk.size
+    return {
+        "loss": (np.asarray(total_loss) / max(1, total_seen)).tolist(),
+        "accuracy": (100.0 * np.asarray(total_correct)
+                     / max(1, total_seen)).tolist(),
+        "samples": total_seen,
+    }
 
 
 def train_epoch(
@@ -713,15 +825,8 @@ def _train_epoch_gather_fused(state, gather_step, dataset, rng, epoch,
     total_seen = 0
     done = 0
 
-    order = dataset.epoch_order()
-    bs = dataset.batch_size
-    n_full = dataset.n // bs
-    full = order[: n_full * bs].reshape(n_full, bs)
-    chunks = [full[i : i + fused_steps]
-              for i in range(0, n_full, fused_steps)]
-    rem = dataset.n - n_full * bs
-    if rem and not dataset.drop_last:
-        chunks.append(order[n_full * bs :].reshape(1, rem))
+    chunks = _index_chunks(dataset.epoch_order(), dataset.batch_size,
+                           dataset.n, dataset.drop_last, fused_steps)
 
     for chunk in chunks:
         rng, sub = jax.random.split(rng)
@@ -811,15 +916,8 @@ def _evaluate_gather_fused(state, gather_eval, dataset, num_classes,
     """Gather-fused evaluation driver (see evaluate)."""
     import numpy as np
 
-    order = np.arange(dataset.n)
-    bs = dataset.batch_size
-    n_full = dataset.n // bs
-    full = order[: n_full * bs].reshape(n_full, bs)
-    chunks = [full[i : i + fused_steps]
-              for i in range(0, n_full, fused_steps)]
-    rem = dataset.n - n_full * bs
-    if rem and not dataset.drop_last:
-        chunks.append(order[n_full * bs :].reshape(1, rem))
+    chunks = _index_chunks(np.arange(dataset.n), dataset.batch_size,
+                           dataset.n, dataset.drop_last, fused_steps)
 
     total_loss = jnp.zeros((), jnp.float32)
     total_correct = jnp.zeros((), jnp.int32)

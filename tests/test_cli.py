@@ -513,3 +513,51 @@ def test_train_cli_orbax_backend_and_resume(tmp_path):
     ])
     # resumed at epoch 2: exactly one new epoch trained
     assert [e["epoch"] for e in metrics["per_epoch"]] == [2]
+
+
+def test_benchmark_cli_ensemble(tmp_path):
+    """--ensemble trains all seeds of a model simultaneously (one vmapped
+    program) and emits schema-identical per-seed metrics JSONs."""
+    from experiments.benchmark import main as bench_main
+
+    out = str(tmp_path / "bench")
+    argv = [
+        "--models", "baseline", "--dataset", "mnist", "--num-runs", "2",
+        "--epochs", "1", "--batch-size", "128", "--ensemble",
+        "--output-dir", out, "--quiet",
+    ]
+    summary = bench_main(argv)
+    assert summary["baseline"]["num_runs"] == 2
+    cfg = json.load(open(os.path.join(out, "benchmark_config.json")))
+    assert cfg["ensemble"] is True
+    run0 = json.load(open(os.path.join(
+        out, "baseline", "run_0_seed_42", "baseline_mnist_metrics.json")))
+    run1 = json.load(open(os.path.join(
+        out, "baseline", "run_1_seed_153", "baseline_mnist_metrics.json")))
+    assert run0["metadata"]["ensemble_size"] == 2
+    assert run0["metadata"]["seed"] == 42 and run1["metadata"]["seed"] == 153
+    # members trained simultaneously: the wall time is shared...
+    assert (run0["aggregate"]["total_train_time"]
+            == run1["aggregate"]["total_train_time"])
+    # ...but the models are genuinely different (distinct inits)
+    assert (run0["aggregate"]["final_test_loss"]
+            != run1["aggregate"]["final_test_loss"])
+    for run in (run0, run1):
+        assert set(run) == {"metadata", "per_epoch", "aggregate",
+                            "inference"}
+        assert run["per_epoch"][0]["epoch"] == 1
+        assert run["inference"]["mode"] == "chained"
+    # all-or-nothing resume: a second --skip-existing invocation reloads
+    summary2 = bench_main(argv + ["--skip-existing"])
+    assert summary2["baseline"]["num_runs"] == 2
+
+
+def test_benchmark_cli_ensemble_rejects_mesh(tmp_path):
+    from experiments.benchmark import main as bench_main
+
+    with pytest.raises(SystemExit):
+        bench_main([
+            "--models", "baseline", "--num-runs", "2", "--epochs", "1",
+            "--ensemble", "--mesh", "data=2",
+            "--output-dir", str(tmp_path / "b"), "--quiet",
+        ])

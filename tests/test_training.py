@@ -839,3 +839,89 @@ def test_ensemble_gather_multi_matches_independent(rng):
                         jax.tree_util.tree_leaves(member.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+def test_ensemble_gather_eval_matches_single(rng):
+    """The vmapped ensemble eval == each member evaluated through its own
+    single-model gather-fused eval program."""
+    from efficient_rpe_vit_tpu.train import (
+        create_ensemble_train_state,
+        ensemble_member,
+        make_ensemble_gather_multi_eval,
+        make_gather_multi_eval,
+    )
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    S, K, B = 2, 3, 8
+    rngs = [jax.random.fold_in(rng, i) for i in range(S)]
+    sample = jnp.zeros((2, 28, 28, 1))
+    ens = create_ensemble_train_state(model, cfg, rngs, sample)
+    ds = _dummy_dataset(n=K * B, bs=B)
+    idx = jnp.arange(K * B, dtype=jnp.int32).reshape(K, B)
+
+    ens_eval = make_ensemble_gather_multi_eval(model)
+    losses, corrects, preds = ens_eval(
+        ens, ds.images, ds.labels, ds.mean, ds.std, idx)
+    assert losses.shape == (S, K) and preds.shape == (S, K, B)
+
+    single = make_gather_multi_eval(model)
+    for i in range(S):
+        li, ci, pi = single(ensemble_member(ens, i), ds.images, ds.labels,
+                            ds.mean, ds.std, idx)
+        np.testing.assert_allclose(np.asarray(li), np.asarray(losses[i]),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(preds[i]))
+
+
+def test_ensemble_train_epoch_and_evaluate_match_members(rng):
+    """The ensemble epoch/eval drivers reproduce each member's own
+    gather-fused epoch (keys are unused at dropout 0 / no augment, and the
+    shuffled order is shared via equal dataset seeds)."""
+    from efficient_rpe_vit_tpu.train import (
+        create_ensemble_train_state,
+        ensemble_evaluate,
+        ensemble_member,
+        ensemble_train_epoch,
+        make_ensemble_gather_multi_eval,
+        make_ensemble_gather_multi_step,
+        make_gather_multi_eval,
+        make_gather_multi_step,
+        train_epoch,
+        evaluate,
+        make_eval_step,
+    )
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    S, K = 2, 2
+    rngs = [jax.random.fold_in(rng, i) for i in range(S)]
+    sample = jnp.zeros((2, 28, 28, 1))
+    ens = create_ensemble_train_state(model, cfg, rngs, sample)
+    ens_step = make_ensemble_gather_multi_step(model, donate=False)
+    ens_eval = make_ensemble_gather_multi_eval(model)
+
+    ds = _dummy_dataset(n=48, bs=8, seed=3)
+    ens2, tm = ensemble_train_epoch(ens, ens_step, ds, rng, S,
+                                    fused_steps=K, verbose=False)
+    em = ensemble_evaluate(ens2, ens_eval, ds, S, fused_steps=K)
+    assert len(tm["loss"]) == S and len(em["accuracy"]) == S
+
+    gstep = make_gather_multi_step(model, donate=False)
+    geval = make_gather_multi_eval(model)
+    for i in range(S):
+        st = create_train_state(model, cfg, rngs[i], sample)
+        ds_i = _dummy_dataset(n=48, bs=8, seed=3)  # same shuffle stream
+        st2, tmi = train_epoch(st, None, ds_i, rng, verbose=False,
+                               gather_step=gstep, fused_steps=K)
+        assert tmi["loss"] == pytest.approx(tm["loss"][i], rel=1e-5)
+        assert tmi["accuracy"] == pytest.approx(tm["accuracy"][i])
+        emi = evaluate(st2, make_eval_step(model), ds_i,
+                       gather_eval=geval, fused_steps=K)
+        assert emi["accuracy"] == pytest.approx(em["accuracy"][i])
+        assert emi["loss"] == pytest.approx(em["loss"][i], rel=1e-5)
+        member = ensemble_member(ens2, i)
+        for a, b in zip(jax.tree_util.tree_leaves(st2.params),
+                        jax.tree_util.tree_leaves(member.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
