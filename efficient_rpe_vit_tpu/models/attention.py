@@ -120,19 +120,23 @@ class SoftmaxAttention(nn.Module):
                 q, k, v, self.head_dim ** -0.5, self.seq_mesh, self.seq_axis
             )
         else:
-            # dropout_fn=None when no dropout actually applies (eval or
-            # dropout=0): a live dropout_fn pins the dense path, and only
-            # the dropout-free core is eligible for the memory-aware flash
-            # dispatch (ops/attention_core.py::softmax_needs_flash).
-            attn_drop = (
-                nn.Dropout(self.dropout, deterministic=deterministic)
-                if self.dropout > 0 and not deterministic
-                else None
+            # Attention-probability dropout rides the memory-aware dispatch
+            # (ops/attention_core.py): the dense path applies a bernoulli
+            # mask to the probabilities; the flash path regenerates
+            # position-hashed keep masks inside its tiled kernels, so
+            # reference-default training (dropout 0.1, softmax.py:112)
+            # stays memory-safe at any N.
+            live_rate = (
+                float(self.dropout)
+                if self.dropout > 0 and not deterministic else 0.0
             )
             out = softmax_attention(
                 q, k, v, self.head_dim ** -0.5, mask=mask,
                 return_attention=return_attention,
-                dropout_fn=attn_drop,
+                dropout_rate=live_rate,
+                dropout_rng=(
+                    self.make_rng("dropout") if live_rate > 0 else None
+                ),
             )
         if return_attention:
             out, attn_weights = out

@@ -120,28 +120,47 @@ def _pallas_ok() -> bool:
 
 
 def softmax_attention(q, k, v, scale, mask=None, return_attention: bool = False,
-                      dropout_fn=None):
+                      dropout_rate: float = 0.0, dropout_rng=None):
     """softmax(q k^T * scale) v.
 
     Args:
         q, k, v: [B, H, N, D].
         scale: scalar (typically head_dim ** -0.5).
-        mask: optional [B, N, N] or [B, 1, N, N]; zeros are masked out.
-        dropout_fn: optional callable applied to the attention probabilities
-            (the reference's attn_dropout, softmax.py:112).
+        mask: optional [B, N, N] or [B, 1, N, N]; zeros are masked out
+            (reference: softmax.py:106-110).
+        dropout_rate: attention-probability drop rate (the reference's
+            attn_dropout, softmax.py:112); 0 disables.
+        dropout_rng: jax PRNG key, required when dropout_rate > 0.
     Returns:
         [B, H, N, D], and the [B, H, N, N] probabilities if return_attention.
+
+    Dispatch: the dense XLA path wins below the model-level crossover
+    (FLASH_MIN_N) and the HBM budget; past either, the flash Pallas kernel
+    takes over — including with a mask and/or dropout, which it handles
+    in-kernel (round-4: previously those pinned the dense path, leaving
+    reference-default long-N training with no memory-safe route).
+    return_attention inherently materialises [B, H, N, N], so past the
+    budget it is refused loudly instead of letting XLA OOM at compile.
     """
-    if (
-        mask is None
-        and dropout_fn is None
-        and not return_attention
-        and softmax_needs_flash(q.shape[0], q.shape[1], q.shape[2])
-        and _pallas_ok()
-    ):
+    needs_flash = softmax_needs_flash(q.shape[0], q.shape[1], q.shape[2])
+    if needs_flash and not return_attention and _pallas_ok():
         from .pallas import flash_softmax_attention
 
-        return flash_softmax_attention(q, k, v, scale)
+        seed = (
+            jax.random.bits(dropout_rng, (), "uint32")
+            if dropout_rate > 0 else None
+        )
+        return flash_softmax_attention(
+            q, k, v, scale, mask=mask,
+            dropout_rate=float(dropout_rate), dropout_seed=seed,
+        )
+    if return_attention and _dense_softmax_busts_budget(q):
+        raise NotImplementedError(
+            "return_attention materialises the [B, H, N, N] probability "
+            f"matrix, which exceeds the HBM budget at this shape "
+            f"{tuple(q.shape)}; drop return_attention (the flash kernel "
+            "path) or shrink batch/sequence."
+        )
 
     attn = jnp.einsum(
         "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
@@ -151,8 +170,11 @@ def softmax_attention(q, k, v, scale, mask=None, return_attention: bool = False,
             mask = mask[:, None]
         attn = jnp.where(mask == 0, -jnp.inf, attn)
     attn = jax.nn.softmax(attn, axis=-1)
-    if dropout_fn is not None:
-        attn = dropout_fn(attn)
+    if dropout_rate > 0:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, attn.shape
+        )
+        attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum(
         "bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -160,6 +182,12 @@ def softmax_attention(q, k, v, scale, mask=None, return_attention: bool = False,
     if return_attention:
         return out, attn
     return out
+
+
+def _dense_softmax_busts_budget(q) -> bool:
+    b, h, n = q.shape[0], q.shape[1], q.shape[2]
+    dense_bytes = _concrete_bytes(3 * b * h * n * n * 4, 0)
+    return dense_bytes > SOFTMAX_DENSE_MEMORY_BUDGET
 
 
 def linear_attention(q_prime, k_prime, v):

@@ -43,6 +43,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pltpu import fails on some non-TPU builds
@@ -98,6 +99,79 @@ def _pad_axis(x, axis: int, target: int):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+# ════════════════════════════════════════════════════════════════════════
+# Counter-based dropout hash (attention-probability dropout in-kernel)
+# ════════════════════════════════════════════════════════════════════════
+# The keep decision for logical attention cell (b, h, i, j) is a pure hash
+# of (seed, b, h, i, j): the forward and both backward passes rebuild
+# IDENTICAL masks from global coordinates — independent of tiling and with
+# no [B, H, N, N] mask tensor in HBM (the memory story that motivates the
+# flash kernel in the first place). splitmix32-style finalizers on int32
+# wrapping arithmetic; the unsigned threshold compare is done by flipping
+# the sign bit (no uint32 needed in Mosaic). Statistical quality is far
+# beyond what dropout needs; parity with the dense path is exercised by
+# rebuilding the same mask with `dropout_keep_dense` in tests.
+
+
+def _i32(x: int):
+    return np.int32(x - 0x1_0000_0000 if x >= 0x8000_0000 else x)
+
+
+_SEED_B = _i32(0x9E3779B1)
+_SEED_H = _i32(0x7F4A7C15)
+_ROW_C = _i32(0x9E3779B9)
+_COL_C = _i32(0x6C62272E)
+_SIGN = _i32(0x8000_0000)
+
+
+def _mix32(x):
+    """splitmix32 finalizer (int32, wrapping multiplies, logical shifts)."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * _i32(0x7FEB352D)
+    x = x ^ jax.lax.shift_right_logical(x, 15)
+    x = x * _i32(0x846CA68B)
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    return x
+
+
+def _keep_threshold(rate: float) -> np.int32:
+    """Signed-int32 view of uint32 round((1-rate) * 2^32)."""
+    t = int(round((1.0 - float(rate)) * 4294967296.0))
+    t = min(max(t, 0), 4294967295)
+    return _i32(t)
+
+
+def dropout_keep(seed, b, h, rows, cols, rate: float):
+    """Boolean keep-mask for attention cells.
+
+    Args:
+        seed: int32 scalar (traced).
+        b, h: int32 scalars (batch / head index).
+        rows, cols: broadcast-compatible int32 arrays of global q / kv
+            indices.
+        rate: static drop probability in (0, 1).
+    Returns:
+        bool array, True = keep. P(keep) = 1 - rate.
+    """
+    hb = _mix32(seed + b * _SEED_B + h * _SEED_H)
+    x = _mix32(rows * _ROW_C + hb)
+    x = _mix32(x + cols * _COL_C)
+    thresh = _keep_threshold(rate)
+    # unsigned x < thresh, computed in signed int32 by flipping sign bits
+    return (x ^ _SIGN) < (thresh ^ _SIGN)
+
+
+def dropout_keep_dense(seed, B: int, H: int, n_rows: int, n_cols: int,
+                       rate: float):
+    """[B, H, n_rows, n_cols] keep-mask identical to the kernels' — the
+    dense-path oracle for parity tests."""
+    b = jnp.arange(B, dtype=jnp.int32)[:, None, None, None]
+    h = jnp.arange(H, dtype=jnp.int32)[None, :, None, None]
+    rows = jnp.arange(n_rows, dtype=jnp.int32)[None, None, :, None]
+    cols = jnp.arange(n_cols, dtype=jnp.int32)[None, None, None, :]
+    return dropout_keep(seed, b, h, rows, cols, rate)
 
 
 # ════════════════════════════════════════════════════════════════════════
@@ -274,9 +348,16 @@ fused_masked_linear_attention.defvjp(_fml_fwd, _fml_bwd)
 # Kernel 2: flash softmax attention
 # ════════════════════════════════════════════════════════════════════════
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                  *, scale: float, n_kv_tiles: int, block_kv: int,
-                  seq_len: int):
+def _flash_kernel(*refs, scale: float, n_kv_tiles: int, block_q: int,
+                  block_kv: int, seq_len: int, has_mask: bool,
+                  dropout_rate: float):
+    it = iter(refs)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    mask_ref = next(it) if has_mask else None
+    seed_ref = next(it) if dropout_rate > 0 else None
+    o_ref, lse_ref = next(it), next(it)
+    m_ref, l_ref, acc_ref = next(it), next(it), next(it)
+
     jk = pl.program_id(3)
 
     @pl.when(jk == 0)
@@ -294,6 +375,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     # mask padded kv columns (beyond the true sequence length)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_kv
     s = jnp.where(col < seq_len, s, MASK_VALUE)
+    if has_mask:
+        # user mask tile: zeros are masked out (softmax.py:106-110). The
+        # finite MASK_VALUE (not -inf) keeps the online recurrence NaN-free
+        # when a leading tile is fully masked: its poisoned l/acc are
+        # annihilated by alpha = exp(MASK_VALUE - m_real) = 0 as soon as a
+        # live tile arrives. (A row masked EVERYWHERE degenerates to a
+        # uniform average over the last tile instead of the dense path's
+        # NaN row — both are user error.)
+        s = jnp.where(mask_ref[0, 0] == 0, MASK_VALUE, s)
 
     m_prev = m_ref[...]  # [bq, 1]
     l_prev = l_ref[...]
@@ -301,12 +391,25 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     m_next = jnp.maximum(m_prev, m_curr)
     alpha = jnp.exp(m_prev - m_next)
     p = jnp.exp(s - m_next)  # [bq, bk]
+    # the normaliser uses UNdropped p: dropout applies to the softmax
+    # probabilities (post-normalisation in the dense formulation), which
+    # in online form means scaling only the value-side accumulation
     l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     m_ref[...] = m_next
     l_ref[...] = l_next
 
+    if dropout_rate > 0:
+        b, h, iq = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                + iq * block_q)
+        keep = dropout_keep(seed_ref[0, 0], b, h, rows, col, dropout_rate)
+        p_acc = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+    else:
+        p_acc = p
+
     acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-        p, v_ref[0, 0].astype(jnp.float32), preferred_element_type=jnp.float32
+        p_acc, v_ref[0, 0].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(jk == n_kv_tiles - 1)
@@ -323,7 +426,28 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
         )
 
 
-def _flash_fwd_impl(q, k, v, *, scale: float, block_q, block_kv,
+def canonical_mask(mask, B: int, H: int):
+    """[B, N, N] / [B, 1, N, N] / [B, H, N, N] -> ([B, Hm, N, N], Hm)."""
+    if mask.ndim == 3:
+        mask = mask[:, None]
+    Hm = mask.shape[1]
+    if Hm not in (1, H):
+        raise ValueError(f"mask head dim must be 1 or {H}, got {Hm}")
+    if mask.shape[0] != B:
+        raise ValueError(f"mask batch dim must be {B}, got {mask.shape[0]}")
+    return mask, Hm
+
+
+def _seed_operand(dropout_seed):
+    """Canonicalise the dropout seed to an int32 [1, 1] kernel operand."""
+    seed = jnp.asarray(dropout_seed)
+    if seed.dtype == jnp.uint32:
+        seed = jax.lax.bitcast_convert_type(seed, jnp.int32)
+    return seed.astype(jnp.int32).reshape(1, 1)
+
+
+def _flash_fwd_impl(q, k, v, mask, dropout_seed, *, scale: float,
+                    dropout_rate: float, block_q, block_kv,
                     interpret: bool):
     B, H, N, D = q.shape
     if block_q is None or block_kv is None:
@@ -346,21 +470,40 @@ def _flash_fwd_impl(q, k, v, *, scale: float, block_q, block_kv,
     n_kv_tiles = Nkv // block_kv
     grid = (B, H, n_q_tiles, n_kv_tiles)
 
+    operands = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
+    ]
+    if mask is not None:
+        maskc, Hm = canonical_mask(mask, B, H)
+        # zero-padding = masked; padded kv columns are re-masked by the
+        # seq_len guard anyway and padded q rows are sliced away
+        maskp = _pad_axis(_pad_axis(maskc, 2, Nq), 3, Nkv)
+        operands.append(maskp)
+        if Hm == 1:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, block_q, block_kv), lambda b, h, i, j: (b, 0, i, j)))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, block_q, block_kv), lambda b, h, i, j: (b, h, i, j)))
+    if dropout_rate > 0:
+        operands.append(_seed_operand(dropout_seed))
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, h, i, j: (0, 0)))
+
     out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, n_kv_tiles=n_kv_tiles,
-            block_kv=block_kv, seq_len=N,
+            block_q=block_q, block_kv=block_kv, seq_len=N,
+            has_mask=mask is not None, dropout_rate=dropout_rate,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, Nq, Dp), v.dtype),
             jax.ShapeDtypeStruct((B, H, Nq, 1), jnp.float32),
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
@@ -379,7 +522,7 @@ def _flash_fwd_impl(q, k, v, *, scale: float, block_q, block_kv,
             else None
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*operands)
     return out[:, :, :N, :D], lse[:, :, :N, 0]
 
 
@@ -391,19 +534,36 @@ def _flash_reference(q, k, v, scale):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8))
 def flash_softmax_attention(q, k, v, scale: float, block_q=None,
-                            block_kv=None, interpret: bool = False):
+                            block_kv=None, interpret: bool = False,
+                            mask=None, dropout_rate: float = 0.0,
+                            dropout_seed=None):
     """softmax(q k^T * scale) v without materialising the scores in HBM.
+
+    Supports the full reference softmax contract at any N (VERDICT r3 #2;
+    reference softmax.py:100-115): an additive-style attention mask (zeros
+    masked out) and attention-probability dropout, both handled INSIDE the
+    tiled kernels — dropout masks rebuild from a counter-based hash of the
+    global cell coordinates (`dropout_keep`), so nothing quadratic in N
+    touches HBM in either direction.
 
     Args:
         q, k, v: [B, H, N, D].
         block_q, block_kv: tile sizes (multiples of 128); None picks the
             measured `flash_default_blocks(N)` policy.
+        mask: optional [B, N, N] / [B, 1, N, N] / [B, H, N, N]; zeros are
+            masked out.
+        dropout_rate: static attention-probability drop rate.
+        dropout_seed: int32/uint32 scalar (traced ok); required when
+            dropout_rate > 0.
     Returns:
         [B, H, N, D].
     """
-    out, _ = _flash_fwd_impl(q, k, v, scale=scale, block_q=block_q,
+    if dropout_rate > 0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    out, _ = _flash_fwd_impl(q, k, v, mask, dropout_seed, scale=scale,
+                             dropout_rate=dropout_rate, block_q=block_q,
                              block_kv=block_kv, interpret=interpret)
     return out
 
@@ -411,27 +571,44 @@ def flash_softmax_attention(q, k, v, scale: float, block_q=None,
 # Backward strategy: 'pallas' (default) runs the tiled dq/dkv-split kernels
 # in flash_bwd.py — nothing quadratic in N touches HBM, matching the
 # forward's memory story. 'jnp_recompute' rebuilds dense attention in XLA
-# (the pre-r2 behaviour; kept as a debugging oracle).
+# (the pre-r2 behaviour; kept as a debugging oracle — dropout-free only).
 FLASH_BWD_MODE = "pallas"
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_kv, interpret):
-    out, lse = _flash_fwd_impl(q, k, v, scale=scale, block_q=block_q,
+def _flash_fwd(q, k, v, scale, block_q, block_kv, interpret, mask,
+               dropout_rate, dropout_seed):
+    out, lse = _flash_fwd_impl(q, k, v, mask, dropout_seed, scale=scale,
+                               dropout_rate=dropout_rate, block_q=block_q,
                                block_kv=block_kv, interpret=interpret)
-    return out, (q, k, v, out, lse)
+    return out, (q, k, v, out, lse, mask, dropout_seed)
 
 
-def _flash_bwd(scale, block_q, block_kv, interpret, residuals, g):
-    q, k, v, out, lse = residuals
-    if FLASH_BWD_MODE == "pallas":
+def _zero_cotangent(x):
+    """Zero cotangent for a possibly-integer primal (float0 for ints)."""
+    if x is None:
+        return None
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
+def _flash_bwd(scale, block_q, block_kv, interpret, dropout_rate,
+               residuals, g):
+    q, k, v, out, lse, mask, dropout_seed = residuals
+    if FLASH_BWD_MODE == "pallas" or mask is not None or dropout_rate > 0:
         from .flash_bwd import flash_attention_bwd
 
-        return flash_attention_bwd(
+        dq, dk, dv = flash_attention_bwd(
             q, k, v, out, lse, g, scale=scale,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
+            mask=mask, dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
-    _, vjp = jax.vjp(lambda q, k, v: _flash_reference(q, k, v, scale), q, k, v)
-    return vjp(g)
+    else:
+        _, vjp = jax.vjp(
+            lambda q, k, v: _flash_reference(q, k, v, scale), q, k, v)
+        dq, dk, dv = vjp(g)
+    # the mask is a constraint, not a differentiable input
+    return dq, dk, dv, _zero_cotangent(mask), _zero_cotangent(dropout_seed)
 
 
 flash_softmax_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -57,9 +57,16 @@ def _dims(interpret):
 
 # ─── P1: dq ─────────────────────────────────────────────────────────────
 
-def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                     dq_ref, acc_ref, *, scale: float, n_kv_tiles: int,
-                     block_kv: int, seq_len: int):
+def _flash_dq_kernel(*refs, scale: float, n_kv_tiles: int, block_q: int,
+                     block_kv: int, seq_len: int, has_mask: bool,
+                     dropout_rate: float):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, g_ref = next(it), next(it), next(it), next(it)
+    lse_ref, delta_ref = next(it), next(it)
+    mask_ref = next(it) if has_mask else None
+    seed_ref = next(it) if dropout_rate > 0 else None
+    dq_ref, acc_ref = next(it), next(it)
+
     jk = pl.program_id(3)
 
     @pl.when(jk == 0)
@@ -73,12 +80,26 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     ) * scale                  # [bq, bk]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_kv
     s = jnp.where(col < seq_len, s, -jnp.inf)
+    if has_mask:
+        # -inf (not MASK_VALUE) here: p = exp(-inf - lse) is exactly 0 for
+        # any finite-or-MASK_VALUE lse, killing masked cells' gradients
+        s = jnp.where(mask_ref[0, 0] == 0, -jnp.inf, s)
     p = jnp.exp(s - lse_ref[0, 0])          # lse: [bq, 1]
 
     dp = jax.lax.dot_general(               # g @ v^T : [bq, bk]
         g_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if dropout_rate > 0:
+        from .attention_kernels import dropout_keep
+
+        b, h, iq = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                + iq * block_q)
+        keep = dropout_keep(seed_ref[0, 0], b, h, rows, col, dropout_rate)
+        # dP = (g v^T) ⊙ M / keep_prob; the delta_i = g.out rowsum identity
+        # survives dropout (out itself is the dropped sum)
+        dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
     ds = p * (dp - delta_ref[0, 0])         # delta: [bq, 1]
     acc_ref[...] += jnp.dot(ds, k.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
@@ -90,9 +111,16 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 # ─── P2: dk, dv ─────────────────────────────────────────────────────────
 
-def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                      dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
-                      n_q_tiles: int):
+def _flash_dkv_kernel(*refs, scale: float, n_q_tiles: int, block_q: int,
+                      block_kv: int, has_mask: bool, dropout_rate: float):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, g_ref = next(it), next(it), next(it), next(it)
+    lse_ref, delta_ref = next(it), next(it)
+    mask_ref = next(it) if has_mask else None
+    seed_ref = next(it) if dropout_rate > 0 else None
+    dk_ref, dv_ref = next(it), next(it)
+    dk_acc, dv_acc = next(it), next(it)
+
     iq = pl.program_id(3)
 
     @pl.when(iq == 0)
@@ -106,17 +134,38 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     s_T = jax.lax.dot_general(  # k @ q^T : [bk, bq]
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    if has_mask:
+        s_T = jnp.where(mask_ref[0, 0].T == 0, -jnp.inf, s_T)
     lse_row = lse_ref[0, 0].reshape(1, -1)      # [1, bq]
     p_T = jnp.exp(s_T - lse_row)
 
-    dv_acc[...] += jnp.dot(p_T, g.astype(jnp.float32),
+    if dropout_rate > 0:
+        from .attention_kernels import dropout_keep
+
+        b, h, jk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        # transposed tile: dim 0 is the kv index, dim 1 the q index
+        rows = (jax.lax.broadcasted_iota(jnp.int32, s_T.shape, 1)
+                + iq * block_q)
+        cols = (jax.lax.broadcasted_iota(jnp.int32, s_T.shape, 0)
+                + jk * block_kv)
+        keep_T = dropout_keep(seed_ref[0, 0], b, h, rows, cols, dropout_rate)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_T_eff = jnp.where(keep_T, p_T * inv_keep, 0.0)
+    else:
+        keep_T, inv_keep, p_T_eff = None, 1.0, p_T
+
+    # dv_j = sum_i M_ij P_ij g_i / keep_prob — the dropped probabilities
+    dv_acc[...] += jnp.dot(p_T_eff, g.astype(jnp.float32),
                            preferred_element_type=jnp.float32)
 
     dp_T = jax.lax.dot_general(  # v @ g^T : [bk, bq]
         v_ref[0, 0], g, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if dropout_rate > 0:
+        dp_T = jnp.where(keep_T, dp_T * inv_keep, 0.0)
     delta_row = delta_ref[0, 0].reshape(1, -1)  # [1, bq]
+    # dS uses the UNdropped P (softmax VJP) with the dropped dP
     ds_T = p_T * (dp_T - delta_row)
     dk_acc[...] += jnp.dot(ds_T, q.astype(jnp.float32),
                            preferred_element_type=jnp.float32)
@@ -131,7 +180,8 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
                         block_q=None, block_kv=None,
-                        interpret: bool = False):
+                        interpret: bool = False, mask=None,
+                        dropout_rate: float = 0.0, dropout_seed=None):
     """Tiled VJP for flash_softmax_attention.
 
     Args:
@@ -140,11 +190,16 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
         lse: [B, H, N] forward row log-sum-exp (fp32).
         g: [B, H, N, D] cotangent.
         block_q, block_kv: tile sizes; None picks flash_default_blocks(N).
+        mask: optional [B, N, N] / [B, 1|H, N, N]; zeros masked out — must
+            match the forward's mask.
+        dropout_rate, dropout_seed: the forward's dropout parameters; the
+            per-cell keep masks rebuild from the same coordinate hash.
     Returns:
         (dq, dk, dv).
     """
     from .attention_kernels import (
-        LANES, _pad_axis, _round_up, flash_default_blocks,
+        LANES, _pad_axis, _round_up, _seed_operand, canonical_mask,
+        flash_default_blocks,
     )
 
     B, H, N, D = q.shape
@@ -172,43 +227,82 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
     n_kv = Nkv // block_kv
     scr = (lambda *a: pltpu.VMEM(*a)) if _HAVE_PLTPU else None
 
+    has_mask = mask is not None
+    extra_operands = []
+    # mask block spec factories for the two grid layouts; the tile is
+    # always loaded [bq, bk] (the dkv kernel transposes in-register)
+    if has_mask:
+        maskc, Hm = canonical_mask(mask, B, H)
+        maskp = _pad_axis(_pad_axis(maskc, 2, Nq), 3, Nkv)
+        extra_operands.append(maskp)
+
+        def mask_spec_dq():
+            if Hm == 1:
+                return pl.BlockSpec((1, 1, block_q, block_kv),
+                                    lambda b, h, i, j: (b, 0, i, j))
+            return pl.BlockSpec((1, 1, block_q, block_kv),
+                                lambda b, h, i, j: (b, h, i, j))
+
+        def mask_spec_dkv():
+            if Hm == 1:
+                return pl.BlockSpec((1, 1, block_q, block_kv),
+                                    lambda b, h, j, i: (b, 0, i, j))
+            return pl.BlockSpec((1, 1, block_q, block_kv),
+                                lambda b, h, j, i: (b, h, i, j))
+    if dropout_rate > 0:
+        extra_operands.append(_seed_operand(dropout_seed))
+        seed_spec = pl.BlockSpec((1, 1), lambda b, h, x, y: (0, 0))
+
     # P1: dq — accumulate over KV tiles.
+    dq_specs = [
+        pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+    ]
+    if has_mask:
+        dq_specs.append(mask_spec_dq())
+    if dropout_rate > 0:
+        dq_specs.append(seed_spec)
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, scale=scale, n_kv_tiles=n_kv,
-                          block_kv=block_kv, seq_len=N),
+                          block_q=block_q, block_kv=block_kv, seq_len=N,
+                          has_mask=has_mask, dropout_rate=dropout_rate),
         out_shape=jax.ShapeDtypeStruct((B, H, Nq, Dp), q.dtype),
         grid=(B, H, n_q, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
-        ],
+        in_specs=dq_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, Dp),
                                lambda b, h, i, j: (b, h, i, 0)),
         scratch_shapes=[scr((block_q, Dp), jnp.float32)] if scr else [],
         compiler_params=_dims(interpret),
         interpret=interpret,
-    )(qp, kp, vp, gp, lsep, deltap)
+    )(qp, kp, vp, gp, lsep, deltap, *extra_operands)
 
     # P2: dk, dv — accumulate over Q tiles.
+    dkv_specs = [
+        pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, j, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, j, i: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, j, i: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, j, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i: (b, h, i, 0)),
+    ]
+    if has_mask:
+        dkv_specs.append(mask_spec_dkv())
+    if dropout_rate > 0:
+        dkv_specs.append(seed_spec)
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, scale=scale, n_q_tiles=n_q),
+        functools.partial(_flash_dkv_kernel, scale=scale, n_q_tiles=n_q,
+                          block_q=block_q, block_kv=block_kv,
+                          has_mask=has_mask, dropout_rate=dropout_rate),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, Nkv, Dp), k.dtype),
             jax.ShapeDtypeStruct((B, H, Nkv, Dp), v.dtype),
         ),
         grid=(B, H, n_kv, n_q),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, j, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, j, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, j, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, j, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i: (b, h, i, 0)),
-        ],
+        in_specs=dkv_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, j, i: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, j, i: (b, h, j, 0)),
@@ -219,6 +313,6 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
         ] if scr else [],
         compiler_params=_dims(interpret),
         interpret=interpret,
-    )(qp, kp, vp, gp, lsep, deltap)
+    )(qp, kp, vp, gp, lsep, deltap, *extra_operands)
 
     return dq[:, :, :N, :D], dk[:, :, :N, :D], dv[:, :, :N, :D]

@@ -351,3 +351,180 @@ def test_kerple_auto_respects_memory_budget():
                 and dense_bytes <= ac.KERPLE_DENSE_MEMORY_BUDGET else "fft")
     assert chosen(small) == "dense"
     assert chosen(big) == "fft"
+
+
+# ═══ round 4: mask + attention-probability dropout in the flash path ════
+
+def _dense_hash_dropout_oracle(q, k, v, scale, seed, rate, mask=None):
+    """Dense softmax attention applying the SAME position-hashed dropout
+    mask the flash kernels regenerate in-kernel — the exact-parity oracle
+    (the keep decision is a pure function of (seed, b, h, i, j))."""
+    from efficient_rpe_vit_tpu.ops.pallas.attention_kernels import (
+        dropout_keep_dense,
+    )
+
+    B, H, N, _ = q.shape
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+    if mask is not None:
+        m = mask if mask.ndim == 4 else mask[:, None]
+        attn = jnp.where(m == 0, -jnp.inf, attn)
+    p = jax.nn.softmax(attn, axis=-1)
+    if rate > 0:
+        keep = dropout_keep_dense(seed, B, H, N, N, rate)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+
+@pytest.mark.parametrize("mask_shape", ["bnn", "b1nn", "bhnn"])
+def test_flash_mask_matches_dense(rng, mask_shape):
+    B, H, N, D = 2, 2, 197, 16
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    shape = {"bnn": (B, N, N), "b1nn": (B, 1, N, N),
+             "bhnn": (B, H, N, N)}[mask_shape]
+    # keep the diagonal so no row is fully masked
+    mask = (jax.random.uniform(k4, shape) > 0.4).astype(jnp.float32)
+    eye = jnp.eye(N)[(None,) * (len(shape) - 2)]
+    mask = jnp.maximum(mask, eye)
+    scale = D ** -0.5
+    got = flash_softmax_attention(q, k, v, scale, 128, 128, True, mask)
+    want = _dense_hash_dropout_oracle(q, k, v, scale, None, 0.0, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_flash_mask_gradients_match(rng):
+    B, H, N, D = 1, 2, 150, 16
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    mask = (jax.random.uniform(k4, (B, 1, N, N)) > 0.3).astype(jnp.float32)
+    mask = jnp.maximum(mask, jnp.eye(N)[None, None])
+    scale = D ** -0.5
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(
+            flash_softmax_attention(q, k, v, scale, 128, 128, True, mask) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            _dense_hash_dropout_oracle(q, k, v, scale, None, 0.0, mask) ** 2
+        )
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("N", [64, 197])
+def test_flash_dropout_matches_hash_oracle(rng, N):
+    """Flash dropout == dense attention with the identical regenerated
+    keep-mask: exact parity, not just statistics."""
+    B, H, D, rate = 2, 2, 16, 0.1
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    seed = jnp.int32(12345)
+    scale = D ** -0.5
+    got = flash_softmax_attention(
+        q, k, v, scale, 128, 128, True, None, rate, seed)
+    want = _dense_hash_dropout_oracle(q, k, v, scale, seed, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_flash_dropout_tiling_invariance(rng):
+    """The keep decision hashes GLOBAL coordinates: different tile sizes
+    produce bit-identical dropout patterns."""
+    B, H, N, D, rate = 1, 2, 200, 16, 0.25
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    seed = jnp.int32(7)
+    a = flash_softmax_attention(q, k, v, 0.25, 128, 128, True, None, rate, seed)
+    b = flash_softmax_attention(q, k, v, 0.25, 256, 128, True, None, rate, seed)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_flash_dropout_gradients_match(rng):
+    B, H, N, D, rate = 1, 2, 150, 16, 0.1
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    seed = jnp.int32(99)
+    scale = D ** -0.5
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_softmax_attention(
+            q, k, v, scale, 128, 128, True, None, rate, seed) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            _dense_hash_dropout_oracle(q, k, v, scale, seed, rate) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_flash_mask_and_dropout_combined(rng):
+    B, H, N, D, rate = 1, 2, 130, 16, 0.15
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    mask = (jax.random.uniform(k4, (B, 1, N, N)) > 0.3).astype(jnp.float32)
+    mask = jnp.maximum(mask, jnp.eye(N)[None, None])
+    seed = jnp.int32(2024)
+    scale = D ** -0.5
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_softmax_attention(
+            q, k, v, scale, 128, 128, True, mask, rate, seed) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            _dense_hash_dropout_oracle(q, k, v, scale, seed, rate, mask) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_pallas(q, k, v)), np.asarray(loss_ref(q, k, v)),
+        rtol=2e-3)
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_dropout_hash_statistics():
+    """Keep fraction ~= 1 - rate; masks differ across seeds/heads/rows."""
+    from efficient_rpe_vit_tpu.ops.pallas.attention_kernels import (
+        dropout_keep_dense,
+    )
+
+    for rate in (0.1, 0.5):
+        keep = dropout_keep_dense(jnp.int32(3), 2, 2, 128, 128, rate)
+        frac = float(jnp.mean(keep.astype(jnp.float32)))
+        assert abs(frac - (1.0 - rate)) < 0.01, (rate, frac)
+    a = dropout_keep_dense(jnp.int32(3), 1, 1, 64, 64, 0.5)
+    b = dropout_keep_dense(jnp.int32(4), 1, 1, 64, 64, 0.5)
+    assert bool(jnp.any(a != b))
+    # deterministic given the seed
+    c = dropout_keep_dense(jnp.int32(3), 1, 1, 64, 64, 0.5)
+    assert bool(jnp.all(a == c))
+    # rows and heads decorrelate
+    full = dropout_keep_dense(jnp.int32(3), 1, 2, 64, 64, 0.5)
+    assert bool(jnp.any(full[0, 0] != full[0, 1]))
+    assert bool(jnp.any(full[0, 0, 0] != full[0, 0, 1]))
