@@ -251,7 +251,10 @@ def run_ensemble_benchmark(model_name: str, seeds, model_dir: str, args):
         augment=train_ds.augment,
     )
     ens_eval = make_ensemble_gather_multi_eval(model)
-    fused_steps = args.fused_steps or 64
+    # `or` would silently map an explicit --fused-steps 0 to the default
+    fused_steps = 64 if args.fused_steps is None else args.fused_steps
+    if fused_steps < 1:
+        raise ValueError(f"--fused-steps must be >= 1, got {fused_steps}")
 
     rng = jax.random.PRNGKey(seeds[0])
     per_epoch = [[] for _ in range(S)]
@@ -315,8 +318,12 @@ def run_ensemble_benchmark(model_name: str, seeds, model_dir: str, args):
                 "final_train_accuracy": final["train_accuracy"],
                 "final_train_loss": final["train_loss"],
                 # SHARED wall time: all S members trained simultaneously
-                # in this many seconds (that is the ensemble win)
+                # in this many seconds (that is the ensemble win). The
+                # explicit stamp keeps tooling that sums train time across
+                # run dirs from over-counting by a factor of S (it applies
+                # equally to each per_epoch entry's epoch_time).
                 "total_train_time": total_train_time,
+                "time_is_shared_ensemble_wall": True,
             },
             "inference": inference,
         }
@@ -363,7 +370,12 @@ def _aggregate_model(model, model_dir, runs, summary, args,
         agg["measurement_note"] += (
             " Ensemble mode: train_time is the SHARED wall time in which "
             "all seeds trained simultaneously (one vmapped program), so "
-            "its per-run variance is zero by construction."
+            "its per-run variance is zero by construction. Ensemble "
+            "members also share ONE dataset shuffle/augmentation order "
+            "(seeded from the first seed) and differ only by init and "
+            "dropout/augment keys, so the accuracy spread here measures "
+            "less independence than sequential multi-seed runs — do not "
+            "compare these std/min/max against sequential-mode aggregates."
         )
     save_run_metrics(os.path.join(model_dir, "aggregated_stats.json"), agg)
     summary[model] = agg
