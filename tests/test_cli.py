@@ -12,6 +12,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Each test trains/compiles a full pipeline in-process (~30-60 s each on one
+# CPU core) — the whole module is the slow tier's end-to-end gate.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def train_run(tmp_path_factory):

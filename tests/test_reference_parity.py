@@ -76,9 +76,7 @@ PARITY_VARIANTS = [
 ]
 
 
-@pytest.mark.parametrize("dataset", ["mnist", "cifar10"])
-@pytest.mark.parametrize("variant,atol", PARITY_VARIANTS)
-def test_logit_parity(variant, atol, dataset):
+def _check_logit_parity(variant, atol, dataset):
     ref_model = _build_reference_model(variant, dataset)
 
     make_cfg, size, channels = DATASETS[dataset]
@@ -100,6 +98,24 @@ def test_logit_parity(variant, atol, dataset):
             torch.from_numpy(x_np.transpose(0, 3, 1, 2))
         ).numpy()
     np.testing.assert_allclose(ours, theirs, atol=atol, rtol=1e-3)
+
+
+# Fast tier: two representatives — the vanilla softmax path and the flagship
+# FAVOR+ + KERPLE path (covers patchify/embed/head plus the FFT-Toeplitz
+# attention math). The full 22-case matrix runs in the slow tier.
+@pytest.mark.parametrize(
+    "variant,atol",
+    [("baseline", 2e-5), ("performer_favor_most_general", 5e-4)],
+)
+def test_logit_parity_fast(variant, atol):
+    _check_logit_parity(variant, atol, "mnist")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dataset", ["mnist", "cifar10"])
+@pytest.mark.parametrize("variant,atol", PARITY_VARIANTS)
+def test_logit_parity(variant, atol, dataset):
+    _check_logit_parity(variant, atol, dataset)
 
 
 def test_gradient_parity_kerple():
