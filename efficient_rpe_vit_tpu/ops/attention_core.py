@@ -25,16 +25,10 @@ it per head-dim block so peak memory is [B, H, N, F, block] instead of
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
-from .fft_toeplitz import (
-    toeplitz_diag_sums,
-    toeplitz_from_coeffs,
-    toeplitz_matmul_fft,
-)
+from .fft_toeplitz import toeplitz_from_coeffs, toeplitz_matmul_fft
 
 EPS = 1e-6  # denominator stabiliser (reference: favor_plus.py:260)
 
@@ -237,18 +231,17 @@ def kerple_linear_attention(q_prime, k_prime, v, coeffs, method: str = "auto",
     if method == "auto":
         # ~5 live [B,H,N,N] fp32 temps (symbolic batch -> treat as small)
         dense_bytes = _concrete_bytes(5 * b * h * n * n * 4, 0)
-        # the Pallas route still materialises T and dT at [H,N,N] fp32
-        toeplitz_bytes = 2 * h * n * n * 4
         if (n < KERPLE_DENSE_CROSSOVER_N
                 and dense_bytes <= KERPLE_DENSE_MEMORY_BUDGET):
             method = "dense"
-        elif _pallas_ok() and toeplitz_bytes <= KERPLE_DENSE_MEMORY_BUDGET:
+        elif _pallas_ok():
             # Past the dense wall the fused Pallas kernel is the fast
-            # path: its fwd and fully-fused bwd keep nothing per-batch
-            # quadratic in HBM (only T/dT at [H,N,N]) while staying on
-            # the MXU, where the streamed-FFT path lost to dense by
-            # 28-266x at every measured shape (docs/BENCHMARKING.md).
-            # FFT remains the non-TPU / no-Pallas fallback.
+            # path: since round 4 its fwd AND bwd build Toeplitz tiles
+            # in-kernel from coefficient windows (masked_linear_coeffs),
+            # so NOTHING quadratic in N exists in HBM at any shape,
+            # while staying on the MXU — where the streamed-FFT path
+            # lost to dense by 28-266x at every measured shape
+            # (docs/BENCHMARKING.md). FFT remains the non-TPU fallback.
             method = "pallas"
         else:
             method = "fft"
@@ -261,61 +254,19 @@ def kerple_linear_attention(q_prime, k_prime, v, coeffs, method: str = "auto",
     raise ValueError(f"unknown method {method!r}")
 
 
-# The Pallas long-N KERPLE route carries its own custom_vjp at the COEFFS
-# level: fused_masked_linear_attention's own VJP saves T [H,N,N] as a
-# residual, which at ViT-B N=4097 is ~0.8 GB *per block* — a 12-depth
-# model OOM'd at 27.3 GB keeping every layer's T (+dT) alive from forward
-# to backward. T is a cheap gather of coeffs, so this wrapper saves only
-# coeffs [H,2N-1] and rebuilds T inside the backward, mapping dT back to
-# dcoeffs through the gather's VJP (a diagonal segment-sum).
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _kerple_pallas(q_prime, k_prime, v, coeffs, interpret: bool = False):
-    out, _ = _kerple_pallas_fwd_impl(q_prime, k_prime, v, coeffs, interpret)
-    return out
+    """Long-N KERPLE on the coeffs-native Pallas kernels
+    (ops/pallas/masked_linear_coeffs.py, round 4): Toeplitz tiles are
+    built IN-KERNEL from per-tile coefficient windows and the dcoeffs
+    diagonal reduction is folded into the backward, so the [H, N, N]
+    T/dT tensors (and round 3's anti-hoisting optimization_barrier
+    against XLA pre-materialising 12 blocks' worth of them) are gone —
+    positional-bias HBM traffic is O(H*N) per step in both directions."""
+    from .pallas import masked_linear_attention_coeffs
 
-
-def _kerple_pallas_fwd_impl(q_prime, k_prime, v, coeffs, interpret):
-    from .pallas.attention_kernels import _masked_linear_fwd_impl
-
-    n = q_prime.shape[2]
-    # T depends only on parameters, so without a barrier XLA's scheduler
-    # hoists EVERY block's [H,N,N] gather+pad to the start of the step —
-    # measured 12 live 972 MB temps (27.3 GB total) at ViT-B N=4097.
-    # Tying coeffs to the layer's activations forces each block's T to
-    # materialise only when that block runs, then die.
-    coeffs, _ = jax.lax.optimization_barrier((coeffs, q_prime))
-    T = toeplitz_from_coeffs(coeffs, n)
-    return _masked_linear_fwd_impl(
-        q_prime, k_prime, v, T, block_q=None, block_kv=None,
-        interpret=interpret,
+    return masked_linear_attention_coeffs(
+        q_prime, k_prime, v, coeffs, interpret=interpret
     )
-
-
-def _kp_fwd(q_prime, k_prime, v, coeffs, interpret):
-    out, den = _kerple_pallas_fwd_impl(q_prime, k_prime, v, coeffs,
-                                       interpret)
-    return out, (q_prime, k_prime, v, coeffs, den, out)
-
-
-def _kp_bwd(interpret, residuals, g):
-    from .pallas.masked_linear_bwd import masked_linear_bwd
-
-    q_prime, k_prime, v, coeffs, den, out = residuals
-    n = q_prime.shape[2]
-    # same anti-hoisting barrier as the forward: rebuild T only when this
-    # block's backward actually runs (tied to the incoming cotangent)
-    coeffs, g = jax.lax.optimization_barrier((coeffs, g))
-    T = toeplitz_from_coeffs(coeffs, n)
-    dq, dk, dv, dT = masked_linear_bwd(
-        q_prime, k_prime, v, T, den, out, g, interpret=interpret,
-    )
-    # dT -> dcoeffs is the Toeplitz gather's VJP = per-diagonal sums;
-    # the reshape formulation avoids XLA's 8 GB padded take-scatter
-    dcoeffs = toeplitz_diag_sums(dT.astype(jnp.float32)).astype(coeffs.dtype)
-    return dq, dk, dv, dcoeffs
-
-
-_kerple_pallas.defvjp(_kp_fwd, _kp_bwd)
 
 
 def masked_linear_vjp_residual(q_prime, k_prime, v, T, den, out, g):

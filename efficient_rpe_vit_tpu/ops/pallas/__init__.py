@@ -10,9 +10,11 @@ from .attention_kernels import (
     fused_masked_linear_attention,
     pallas_available,
 )
+from .masked_linear_coeffs import masked_linear_attention_coeffs
 
 __all__ = [
     "flash_softmax_attention",
     "fused_masked_linear_attention",
+    "masked_linear_attention_coeffs",
     "pallas_available",
 ]

@@ -248,10 +248,10 @@ def test_masked_linear_bwd_auto_mode():
 
 
 def test_kerple_pallas_coeffs_level_vjp(kerple_inputs, rng):
-    """The long-N route's coeffs-level custom VJP (T rebuilt inside the
-    backward instead of saved per block — the fix for the 27 GB
-    all-layers-keep-T OOM) matches the dense oracle, including dcoeffs
-    through the Toeplitz gather's VJP."""
+    """The long-N route (round 4: coeffs-native kernels — Toeplitz tiles
+    built in-kernel, dcoeffs diagonal reduction folded into the backward,
+    no [H,N,N] tensor anywhere) matches the dense oracle, including
+    dcoeffs."""
     from efficient_rpe_vit_tpu.ops import attention_core as ac
 
     qp, kp, v, coeffs = kerple_inputs
@@ -273,8 +273,9 @@ def test_kerple_pallas_coeffs_level_vjp(kerple_inputs, rng):
 
 def test_kerple_auto_prefers_pallas_past_wall(monkeypatch):
     """Past the dense memory wall, 'auto' routes to the fused Pallas
-    kernel when Pallas is available (FFT only as fallback), but falls to
-    FFT when T/dT themselves would bust the budget."""
+    kernel whenever Pallas is available — at ANY N since round 4 (the
+    coeffs-native kernels keep nothing quadratic in HBM, so the old
+    T/dT byte guard is gone); FFT only without Pallas."""
     from efficient_rpe_vit_tpu.ops import attention_core as ac
 
     chosen = {}
@@ -295,19 +296,24 @@ def test_kerple_auto_prefers_pallas_past_wall(monkeypatch):
     ac.kerple_linear_attention(qp, qp, v, coeffs, method="auto")
     assert chosen["method"] == "pallas"
 
-    # N so large that T/dT [H,N,N] alone bust the budget -> fft fallback
+    # even at huge N (the old [H,N,N] T/dT guard would have forced FFT)
     chosen.clear()
     N2 = 16384
-    called = {}
-    monkeypatch.setattr(
-        ac, "_kerple_fft",
-        lambda qp, kp, v, coeffs, blk: called.setdefault("fft", True) or v,
-    )
     qp2 = jnp.zeros((1, 12, N2, F))
     v2 = jnp.zeros((1, 12, N2, D))
     coeffs2 = jnp.ones((12, 2 * N2 - 1))
     ac.kerple_linear_attention(qp2, qp2, v2, coeffs2, method="auto")
-    assert called.get("fft") and "method" not in chosen
+    assert chosen["method"] == "pallas"
+
+    # without Pallas the long-N fallback is still the streamed FFT
+    chosen.clear()
+    monkeypatch.setattr(ac, "_pallas_ok", lambda: False)
+    monkeypatch.setattr(
+        ac, "_kerple_fft",
+        lambda qp, kp, v, coeffs, blk: chosen.setdefault("method", "fft") or v,
+    )
+    ac.kerple_linear_attention(qp2, qp2, v2, coeffs2, method="auto")
+    assert chosen["method"] == "fft"
 
 
 def test_flash_default_block_policy(rng):
@@ -528,3 +534,92 @@ def test_dropout_hash_statistics():
     full = dropout_keep_dense(jnp.int32(3), 1, 2, 64, 64, 0.5)
     assert bool(jnp.any(full[0, 0] != full[0, 1]))
     assert bool(jnp.any(full[0, 0, 0] != full[0, 0, 1]))
+
+
+# ─── coeffs-native masked-linear kernels (round 4) ──────────────────────
+# Toeplitz tiles built in-kernel from coefficient windows via strided
+# rolls; dcoeffs folded into the backward. Gated against the dense oracle
+# like everything else.
+
+def test_coeffs_kernel_matches_oracle(kerple_inputs):
+    from efficient_rpe_vit_tpu.ops.pallas import (
+        masked_linear_attention_coeffs,
+    )
+
+    qp, kp, v, coeffs = kerple_inputs
+    got = masked_linear_attention_coeffs(qp, kp, v, coeffs, 128, 128, True)
+    want = _kerple_dense(qp, kp, v, coeffs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("bq,bkv", [(128, 256), (256, 128)])
+def test_coeffs_kernel_unequal_blocks(kerple_inputs, bq, bkv):
+    """Unequal q/kv tiles exercise the window arithmetic (base =
+    jk*bkv - iq*bq + Nq - bq) off the square-block diagonal."""
+    from efficient_rpe_vit_tpu.ops.pallas import (
+        masked_linear_attention_coeffs,
+    )
+
+    qp, kp, v, coeffs = kerple_inputs
+    got = masked_linear_attention_coeffs(qp, kp, v, coeffs, bq, bkv, True)
+    want = _kerple_dense(qp, kp, v, coeffs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_coeffs_kernel_small_seq(rng):
+    """seq 17 (MNIST config) — heavy padding; padded rows/columns must
+    read exact zeros through the padded-geometry coefficient buffer."""
+    from efficient_rpe_vit_tpu.ops.pallas import (
+        masked_linear_attention_coeffs,
+    )
+
+    B, H, N, F, D = 3, 2, 17, 44, 16
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    qp = jnp.abs(jax.random.normal(k1, (B, H, N, F))) * 0.2
+    kp = jnp.abs(jax.random.normal(k2, (B, H, N, F))) * 0.2
+    v = jax.random.normal(k3, (B, H, N, D))
+    coeffs = jnp.exp(jax.random.normal(k4, (H, 2 * N - 1)) * 0.02)
+    got = masked_linear_attention_coeffs(qp, kp, v, coeffs, 128, 128, True)
+    want = _kerple_dense(qp, kp, v, coeffs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_coeffs_kernel_gradients_match(kerple_inputs, rng):
+    """Fused P1/P2/P3 backward (incl. the in-kernel dT->dcoeffs diagonal
+    fold + scatter epilogue) == dense-oracle gradients, multi-tile."""
+    from efficient_rpe_vit_tpu.ops.pallas import (
+        masked_linear_attention_coeffs,
+    )
+
+    qp, kp, v, coeffs = kerple_inputs
+    g = jax.random.normal(rng, v.shape)
+    gp = jax.grad(lambda qp, kp, v, c: jnp.vdot(
+        masked_linear_attention_coeffs(qp, kp, v, c, 128, 128, True), g),
+        argnums=(0, 1, 2, 3))(qp, kp, v, coeffs)
+    gd = jax.grad(lambda qp, kp, v, c: jnp.vdot(
+        _kerple_dense(qp, kp, v, c), g),
+        argnums=(0, 1, 2, 3))(qp, kp, v, coeffs)
+    for a, b in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_coeffs_kernel_gradients_unequal_blocks(kerple_inputs, rng):
+    from efficient_rpe_vit_tpu.ops.pallas import (
+        masked_linear_attention_coeffs,
+    )
+
+    qp, kp, v, coeffs = kerple_inputs
+    g = jax.random.normal(rng, v.shape)
+    gp = jax.grad(lambda qp, kp, v, c: jnp.vdot(
+        masked_linear_attention_coeffs(qp, kp, v, c, 128, 256, True), g),
+        argnums=(0, 1, 2, 3))(qp, kp, v, coeffs)
+    gd = jax.grad(lambda qp, kp, v, c: jnp.vdot(
+        _kerple_dense(qp, kp, v, c), g),
+        argnums=(0, 1, 2, 3))(qp, kp, v, coeffs)
+    for a, b in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
