@@ -357,12 +357,18 @@ def make_pipeline_train_step(model, mesh, axis: str = "pipe",
                              n_microbatches: Optional[int] = None,
                              data_axis: Optional[str] = "data",
                              model_axis: Optional[str] = "model",
-                             state_specs=None):
+                             state_specs=None,
+                             grad_accum: int = 1):
     """Jitted train step with the block stack pipeline-parallel over `axis`.
 
     Same (state, images, labels, rng) -> (state, loss, correct) contract as
     `make_parallel_train_step`; the backward runs the reverse GPipe
-    schedule automatically (lax.scan + ppermute transpose). Parameters
+    schedule automatically (lax.scan + ppermute transpose). `grad_accum`
+    > 1 composes microbatch gradient accumulation with the pipeline: the
+    global batch reshapes to [A, B/A, ...] and an outer lax.scan runs each
+    chunk through the full GPipe forward/backward — chunks still sharded
+    over `data_axis` and pipelined over `axis` — accumulating the mean
+    gradient before ONE optimizer update (grad-accum x PP). Parameters
     live un-stacked in the TrainState — stacking happens inside the jitted
     step (a transpose, free under XLA) so the optimizer and checkpointing
     see the ordinary per-block tree. On a mesh with `data_axis`, the batch
@@ -376,6 +382,8 @@ def make_pipeline_train_step(model, mesh, axis: str = "pipe",
     """
     from ..train.training import cross_entropy_loss
 
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     has_data = (data_axis is not None and data_axis in mesh.axis_names
                 and mesh.shape[data_axis] > 1)
     data_sharding = NamedSharding(mesh, P(data_axis) if has_data else P())
@@ -395,21 +403,49 @@ def make_pipeline_train_step(model, mesh, axis: str = "pipe",
         out_shardings=(state_shardings, repl, repl),
     )
     def step(state, images, labels, rng):
-        def loss_fn(params):
+        def loss_fn(params, x, y, key):
             variables = {"params": params}
             if state.constants is not None:
                 variables["constants"] = state.constants
             logits = pipeline_vit_forward(
-                model, variables, images, mesh, axis=axis,
+                model, variables, x, mesh, axis=axis,
                 n_microbatches=n_microbatches,
-                deterministic=False, rng=rng, data_axis=data_axis,
+                deterministic=False, rng=key, data_axis=data_axis,
                 model_axis=model_axis,
             )
-            return cross_entropy_loss(logits, labels), logits
+            return cross_entropy_loss(logits, y), logits
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if grad_accum > 1:
+            b = images.shape[0]
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch {b} not divisible by grad_accum {grad_accum}")
+            mb = b // grad_accum
+            xs = (
+                images.reshape(grad_accum, mb, *images.shape[1:]),
+                labels.reshape(grad_accum, mb),
+                jnp.arange(grad_accum),
+            )
+
+            def body(carry, inp):
+                gsum, lsum, csum = carry
+                x, y, i = inp
+                (loss, logits), grads = grad_fn(
+                    state.params, x, y, jax.random.fold_in(rng, i))
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                csum = csum + jnp.sum(jnp.argmax(logits, -1) == y)
+                return (gsum, lsum + loss, csum), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            init = (zeros, jnp.zeros((), jnp.float32),
+                    jnp.zeros((), jnp.int32))
+            (gsum, lsum, correct), _ = jax.lax.scan(body, init, xs)
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            return state.apply_gradients(grads), lsum / grad_accum, correct
+
+        (loss, logits), grads = grad_fn(state.params, images, labels, rng)
         new_state = state.apply_gradients(grads)
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return new_state, loss, correct

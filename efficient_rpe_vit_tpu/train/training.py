@@ -390,7 +390,9 @@ def ensemble_member(state: TrainState, i: int) -> TrainState:
 
 
 def make_ensemble_train_step(model, donate: bool = False,
-                             label_smoothing: float = 0.0) -> Callable:
+                             label_smoothing: float = 0.0,
+                             mesh=None,
+                             member_axis: str = "data") -> Callable:
     """One optimizer step for ALL ensemble members in one program.
 
     Signature: (state [S-stacked], images [B, ...], labels [B],
@@ -400,6 +402,12 @@ def make_ensemble_train_step(model, donate: bool = False,
     runs differ by seed. vmap turns the S member programs into batched
     matmuls, so small models recover MXU/HBM utilisation that a single
     dim-32 member leaves idle.
+
+    With `mesh`, the stacked member axis is sharded over `member_axis`
+    (ensemble x DP): each device group trains S/n_devices members with
+    ZERO cross-device communication — seeds are embarrassingly parallel,
+    the ideal ICI-free mapping. S must divide by the axis size; the shared
+    batch is replicated.
     """
     grad_fn = jax.value_and_grad(
         make_micro_loss(model, label_smoothing), has_aux=True)
@@ -417,8 +425,19 @@ def make_ensemble_train_step(model, donate: bool = False,
             )
         return new_state, loss, correct
 
+    vstep = jax.vmap(step_fn, in_axes=(0, None, None, 0))
+    if mesh is None:
+        return jax.jit(vstep, donate_argnums=(0,) if donate else ())
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    member = NamedSharding(mesh, P(member_axis))  # prefix spec: leading
+    repl = NamedSharding(mesh, P())               # member axis sharded
     return jax.jit(
-        jax.vmap(step_fn, in_axes=(0, None, None, 0)),
+        vstep,
+        in_shardings=(member, repl, repl, member),
+        out_shardings=(member, member, member),
         donate_argnums=(0,) if donate else (),
     )
 

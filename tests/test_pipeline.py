@@ -291,3 +291,41 @@ def test_pipeline_train_step(rng):
     assert losses[-1] < losses[0]  # memorising one batch must reduce loss
     p1 = state.params["block_0"]["attention"]["qkv"]["kernel"]
     assert float(jnp.abs(p1 - p0).max()) > 1e-6
+
+
+def test_pipeline_grad_accum_matches_single_step(rng):
+    """grad-accum x PP (round 4): accumulating A=2 microbatch-chunk
+    gradients through the GPipe schedule == one full-batch pipeline step
+    (dropout 0 makes the fold_in keys irrelevant; CE means compose
+    exactly for equal chunks), and microbatches > stages is exercised."""
+    from jax.sharding import Mesh
+
+    from efficient_rpe_vit_tpu.parallel.pipeline import (
+        make_pipeline_train_step,
+    )
+    from efficient_rpe_vit_tpu.train import create_train_state
+
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor_most_general", cfg, depth=2)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("data", "pipe"))
+    sample = jnp.zeros((2, 28, 28, 1))
+    images = jax.random.normal(rng, (8, 28, 28, 1))
+    labels = jnp.arange(8) % 10
+
+    state0 = create_train_state(model, cfg, rng, sample, steps_per_epoch=10)
+    plain = make_pipeline_train_step(model, mesh, n_microbatches=4)
+    accum = make_pipeline_train_step(model, mesh, n_microbatches=4,
+                                     grad_accum=2)
+    s1, loss1, c1 = plain(state0, images, labels, rng)
+    s2, loss2, c2 = accum(state0, images, labels, rng)
+    assert float(loss2) == pytest.approx(float(loss1), abs=1e-5)
+    assert int(c1) == int(c2)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    accum3 = make_pipeline_train_step(model, mesh, n_microbatches=4,
+                                      grad_accum=3)
+    with pytest.raises(ValueError, match="divisible"):
+        accum3(state0, images, labels, rng)  # 8 % 3 != 0, raises at trace
