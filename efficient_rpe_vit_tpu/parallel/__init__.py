@@ -1,4 +1,10 @@
 from .mesh import make_mesh, make_param_specs, shard_pytree, batch_spec
+from .multihost import (
+    global_batch,
+    host_batch_slice,
+    initialize as initialize_multihost,
+    is_coordinator,
+)
 from .pipeline import (
     make_pipeline_train_step,
     pipeline_blocks,
@@ -18,6 +24,10 @@ from .train_parallel import (
 )
 
 __all__ = [
+    "global_batch",
+    "host_batch_slice",
+    "initialize_multihost",
+    "is_coordinator",
     "make_mesh",
     "make_param_specs",
     "shard_pytree",

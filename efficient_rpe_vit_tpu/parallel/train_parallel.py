@@ -16,6 +16,7 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.training import (
@@ -327,16 +328,35 @@ def parallel_train_epoch(
 
     Pass `multi_step` (from `make_parallel_multi_step`) and
     `fused_steps=K` to dispatch in K-step fused chunks (same buffering
-    semantics as training.py::train_epoch)."""
+    semantics as training.py::train_epoch).
+
+    Multi-host (jax.process_count() > 1, after
+    `parallel.initialize_multihost`): every process runs this loop with
+    an IDENTICAL dataset order (same seed), keeps only its own
+    `host_batch_slice` rows of each batch, and the placements assemble
+    the global sharded Arrays from the per-host pieces — the loop body,
+    the step, and the returned metrics are unchanged (loss/correct are
+    replicated outputs, identical on every process)."""
     import time
 
+    from .multihost import host_batch_slice
+
+    multi_host = jax.process_count() > 1
     data_sharding = NamedSharding(mesh, batch_spec())
     stacked_sharding = NamedSharding(mesh, P(None, *batch_spec()))
+
+    def place(x, sharding):
+        if multi_host:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     t0 = time.perf_counter()
     total_loss = jnp.zeros((), jnp.float32)  # device-side accumulation
     total_correct = jnp.zeros((), jnp.int32)
     total_seen = 0
     buf_x, buf_y = [], []
+
+    n_proc = jax.process_count() if multi_host else 1
 
     def flush():
         nonlocal state, total_loss, total_correct, total_seen, rng
@@ -344,9 +364,9 @@ def parallel_train_epoch(
         if not buf_x:
             return
         rng, sub = jax.random.split(rng)
-        xs = jax.device_put(jnp.stack(buf_x), stacked_sharding)
-        ys = jax.device_put(jnp.stack(buf_y), stacked_sharding)
-        b = buf_x[0].shape[0]
+        xs = place(np.stack(buf_x), stacked_sharding)
+        ys = place(np.stack(buf_y), stacked_sharding)
+        b = buf_x[0].shape[0] * n_proc  # global rows per fused step
         state, losses, corrects = multi_step(state, xs, ys, sub)
         total_loss = total_loss + jnp.sum(losses) * b
         total_correct = total_correct + jnp.sum(corrects)
@@ -354,6 +374,10 @@ def parallel_train_epoch(
         buf_x, buf_y = [], []
 
     for images, labels in dataset:
+        global_b = images.shape[0]
+        if multi_host:
+            sl = host_batch_slice(global_b)
+            images, labels = images[sl], labels[sl]
         if multi_step is not None and fused_steps > 1:
             if buf_x and images.shape != buf_x[0].shape:
                 flush()
@@ -363,12 +387,12 @@ def parallel_train_epoch(
                 flush()
             continue
         rng, sub = jax.random.split(rng)
-        images = jax.device_put(images, data_sharding)
-        labels = jax.device_put(labels, data_sharding)
+        images = place(images, data_sharding)
+        labels = place(labels, data_sharding)
         state, loss, correct = train_step(state, images, labels, sub)
-        total_loss = total_loss + loss * images.shape[0]
+        total_loss = total_loss + loss * global_b
         total_correct = total_correct + correct
-        total_seen += images.shape[0]
+        total_seen += global_b
     flush()
     # value fetch = true barrier (utils/timing.py), before reading the
     # clock; folding in a param leaf forces the final step's update too

@@ -131,6 +131,21 @@ def parse_args(argv=None):
                         "pipeline stages, optionally tensor-sharded: "
                         "DP x PP x TP). Uses the first prod(sizes) devices")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--distributed", nargs="?", const="auto", default=None,
+                   metavar="COORD",
+                   help="multi-host: join a jax.distributed run before any "
+                        "device query. 'auto' (bare flag) autodetects "
+                        "coordinator/size/rank from the TPU pod metadata; "
+                        "or pass host:port and set --num-processes/"
+                        "--process-id explicitly (CPU dryruns, non-TPU "
+                        "clusters). Combine with --mesh over the GLOBAL "
+                        "device count; each process feeds its own slice of "
+                        "every batch (parallel/multihost.py)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="process count for an explicit --distributed COORD")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank for an explicit "
+                        "--distributed COORD")
     return p.parse_args(argv)
 
 
@@ -168,6 +183,23 @@ def main(argv=None, shared=None):
     args = parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    coordinator = True
+    if args.distributed:
+        # before ANY device query (backends initialize lazily)
+        from efficient_rpe_vit_tpu.parallel import initialize_multihost
+        from efficient_rpe_vit_tpu.parallel.multihost import is_coordinator
+
+        initialize_multihost(
+            coordinator_address=(None if args.distributed == "auto"
+                                 else args.distributed),
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        coordinator = is_coordinator()
+        if not coordinator:
+            # one voice per run: workers compute, the coordinator reports
+            # and owns the (msgpack) checkpoint/metrics writes
+            args.quiet = True
 
     from efficient_rpe_vit_tpu.configs import get_dataset_config
     from efficient_rpe_vit_tpu.data import get_dataloaders
@@ -477,7 +509,10 @@ def main(argv=None, shared=None):
                   f"test {em['accuracy']:.2f}% ({tm['time']:.1f}s)")
         if em["accuracy"] > best_acc:
             best_acc = em["accuracy"]
-            if args.save_model:
+            # multi-host: orbax coordinates across processes internally,
+            # but the msgpack backend (and metrics/plots below) write once
+            if args.save_model and (coordinator or
+                                    args.checkpoint_backend == "orbax"):
                 save_ckpt(
                     ckpt_path, state, epoch,
                     metrics={"test_accuracy": em["accuracy"]},
@@ -571,7 +606,7 @@ def main(argv=None, shared=None):
         },
         "inference": inference,
     }
-    if args.save_metrics:
+    if args.save_metrics and coordinator:
         path = os.path.join(
             args.output_dir, f"{args.model}_{args.dataset}_metrics.json"
         )
