@@ -127,6 +127,8 @@ def run_one(model_name: str, seed: int, epochs: int, batch_size: int,
         "model": model_name,
         "seed": seed,
         "epochs": epochs,
+        "batch_size": batch_size,
+        "lr": lr,
         "split": "mnist-10k-resplit-8k2k",
         "best_test_accuracy": best_acc,
         "final_test_accuracy": per_epoch[-1]["test_accuracy"],
