@@ -18,10 +18,12 @@ so each grid cell loads a [bq + bkv] window (16 KB at 512-blocks, vs the
 1 MB T tile it replaces) and builds the tile IN REGISTERS with one
 strided roll (`pltpu.roll(stride=1)`: row a rotates by a — each row of
 the broadcast window slides into diagonal alignment). The backward folds
-the dT -> dcoeffs diagonal reduction in the same way, with the INVERSE
-strided roll (stride = W-1 = -1 mod W): rotate each row of the dW*A tile
-so its diagonals become columns, sum over rows, and emit per-tile window
-gradients that a tiny XLA epilogue scatter-adds into dcoeffs. HBM traffic
+the dT -> dcoeffs diagonal reduction the same way in reverse: row-reverse
+the accumulated dW*A tile (one anti-identity matmul at store time — the
+inverse-direction rolls Mosaic would need are unlowered, see
+`_diag_fold_rev`), stride-1-roll so diagonals become columns, sum over
+rows, and emit per-tile window gradients that a tiny XLA epilogue
+scatter-adds into dcoeffs. HBM traffic
 for the positional bias drops from O(H*N^2) to O(H*N) per step in both
 directions.
 
@@ -57,8 +59,23 @@ from .attention_kernels import (
     LANES,
     _pad_axis,
     _round_up,
-    masked_linear_default_blocks,
 )
+
+
+def coeffs_default_blocks(n: int) -> tuple:
+    """(block_q, block_kv) policy for the coeffs-native kernels.
+
+    The T-based kernels pinned (512, 512) because each grid cell also
+    streamed a [bq, bkv] fp32 T tile (1 MB at 512-blocks) and bigger KV
+    blocks made that traffic regress. Here the tile is a [bq+bkv]
+    coefficient window (16 KB), so the trade re-measured differently:
+    at ViT-B long-N (B=4 H=12 N=4097 F=266 D=64 bf16, chained
+    value-fetch) (512, 768) is best end-to-end — 8.5 ms fwd /
+    44.3 ms fwd+bwd (62.7 / 42.1 TFLOP/s) vs (512, 512)'s 8.7 / 47.4 —
+    and pads N=4097 to the same 4608 on both axes
+    (results/coeffs_tune_r4.json)."""
+    np128 = _round_up(max(n, 1), LANES)
+    return min(512, np128), min(768, np128)
 
 
 def _dims(interpret):
@@ -156,7 +173,7 @@ def _fwd_impl(q_prime, k_prime, v, coeffs, *, block_q, block_kv, interpret):
     B, H, N, F = q_prime.shape
     D = v.shape[-1]
     if block_q is None or block_kv is None:
-        dq_, dkv_ = masked_linear_default_blocks(N)
+        dq_, dkv_ = coeffs_default_blocks(N)
         block_q = block_q or dq_
         block_kv = block_kv or dkv_
     Nq = _round_up(N, block_q)
@@ -345,7 +362,7 @@ def _bwd_impl(q_prime, k_prime, v, coeffs, den, out, g, *,
     B, H, N, F = q_prime.shape
     D = v.shape[-1]
     if block_q is None or block_kv is None:
-        dq_, dkv_ = masked_linear_default_blocks(N)
+        dq_, dkv_ = coeffs_default_blocks(N)
         block_q = block_q or dq_
         block_kv = block_kv or dkv_
     Nq = _round_up(N, block_q)
