@@ -17,10 +17,21 @@ Backward, with residuals (q, k, v, out, lse) and cotangent g
     dk_j    = scale * sum_i dS_ij q_i
     dv_j    = sum_i P_ij g_i
 
-Two kernels, one per reduction direction (the dq/dkv split used by
-masked_linear_bwd.py): P1 accumulates dq over KV tiles, P2 accumulates
-(dk, dv) over Q tiles. Every [N, N] quantity (P, dP, dS) lives only as a
-VMEM tile.
+Two strategies share the formulas:
+
+  * Fused single pass (default where the dq scratch fits VMEM): one grid
+    (B, H, KV-tiles, Q-tiles) computes S and dP once per tile pair and
+    produces all three gradients — 5 MXU ops per tile pair (S, dP, dv,
+    dq, dk) and one load of q/k/v/g. dk/dv accumulate in per-tile scratch
+    over the inner Q axis; dq accumulates into a full-row [Nq, D] fp32
+    scratch (block_q-aligned dynamic-slice updates) flushed once per
+    (b, h) — 2.4 MB at N=4K, the reason this path is VMEM-gated.
+  * dq/dkv two-pass split (fallback, any N): P1 accumulates dq over KV
+    tiles, P2 accumulates (dk, dv) over Q tiles. Each pass rebuilds S
+    (and dP), totalling 7 MXU ops per tile pair and two loads of
+    q/k/v/g — ~1.3x slower measured, but per-tile VMEM only.
+
+Every [N, N] quantity (P, dP, dS) lives only as a VMEM tile in both.
 
 Padding: padded KV columns are re-masked to MASK_VALUE in P1 exactly as the
 forward did, making their P (hence dq contribution) exactly zero. Padded Q
@@ -176,12 +187,133 @@ def _flash_dkv_kernel(*refs, scale: float, n_q_tiles: int, block_q: int,
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+# ─── fused single-pass kernel ───────────────────────────────────────────
+
+def _flash_bwd_fused_kernel(*refs, scale: float, n_q_tiles: int,
+                            n_kv_tiles: int, block_q: int, block_kv: int,
+                            seq_len: int, has_mask: bool,
+                            dropout_rate: float):
+    """One (b, h, jk, iq) cell: S and dP built once, all three grads fed.
+
+    Grid order (KV outer, Q inner): dk/dv for KV tile jk accumulate in
+    per-tile scratch across the inner Q sweep and store at iq == n_q-1;
+    dq contributions land in a full-row [Nq, D] fp32 scratch at offset
+    iq*block_q and flush once per (b, h) at the final cell. Both reduction
+    axes are declared "arbitrary" so Mosaic keeps the sweep sequential.
+    """
+    it = iter(refs)
+    q_ref, k_ref, v_ref, g_ref = next(it), next(it), next(it), next(it)
+    lse_ref, delta_ref = next(it), next(it)
+    mask_ref = next(it) if has_mask else None
+    seed_ref = next(it) if dropout_rate > 0 else None
+    dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
+    dq_scr, dk_acc, dv_acc = next(it), next(it), next(it)
+
+    jk = pl.program_id(2)
+    iq = pl.program_id(3)
+
+    @pl.when(jnp.logical_and(jk == 0, iq == 0))
+    def _init_dq():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    @pl.when(iq == 0)
+    def _init_kv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]            # [bq, D]
+    k = k_ref[0, 0]            # [bk, D]
+    g = g_ref[0, 0]            # [bq, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                  # [bq, bk]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_kv
+    # -inf exactly as the dq kernel: p = exp(-inf - lse) == 0 kills padded
+    # KV columns' and masked cells' gradients for any finite/MASK_VALUE lse
+    s = jnp.where(col < seq_len, s, -jnp.inf)
+    if has_mask:
+        s = jnp.where(mask_ref[0, 0] == 0, -jnp.inf, s)
+    p = jnp.exp(s - lse_ref[0, 0])          # lse: [bq, 1]
+
+    dp = jax.lax.dot_general(               # g @ v^T : [bq, bk]
+        g, v_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0:
+        from .attention_kernels import dropout_keep
+
+        b, h = pl.program_id(0), pl.program_id(1)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                + iq * block_q)
+        keep = dropout_keep(seed_ref[0, 0], b, h, rows, col, dropout_rate)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        # dv sums the DROPPED probabilities; dS pairs the UNdropped P
+        # (softmax VJP) with the dropped dP — same split as the two-pass
+        p_eff = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+    else:
+        p_eff = p
+
+    g32 = g.astype(jnp.float32)
+    # dv_j += P^T g : contract the shared q-rows axis -> [bk, D]
+    dv_acc[...] += jax.lax.dot_general(
+        p_eff, g32, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0])         # delta: [bq, 1]
+    # dk_j += dS^T q
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dq_i += dS k, into the full-row scratch at this Q tile's offset
+    row0 = iq * block_q
+    dq_scr[pl.ds(row0, block_q), :] += jnp.dot(
+        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+    @pl.when(iq == n_q_tiles - 1)
+    def _store_kv():
+        dk_ref[0, 0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+    @pl.when(jnp.logical_and(jk == n_kv_tiles - 1, iq == n_q_tiles - 1))
+    def _store_dq():
+        dq_ref[0, 0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+
+# The fused path holds dq for ALL Q rows of one (b, h) in fp32 VMEM
+# ([Nq, 128] after lane padding). Budget chosen well under the ~16 MB/core
+# VMEM so tiles + double buffers + Mosaic temporaries still fit: 4 MB
+# covers N up to ~8K at D<=128; past it the two-pass split takes over.
+FUSED_DQ_VMEM_BUDGET = 4 * 1024 * 1024
+
+
+def flash_bwd_default_blocks(n: int):
+    """Backward-specific (block_q, block_kv) policy.
+
+    The backward's five-matmul tile body prefers a smaller KV block than
+    the forward's two-matmul one (more VMEM pressure per tile, more
+    accumulator traffic): measured at B=4 H=12 N=4097 D=64 bf16 (fused,
+    chained x10) — (512,768) 9.29 ms / 55.5 TFLOP/s vs (512,1024)
+    10.10 / 51.1 and (512,512) 9.81; the split backward orders the same
+    way (12.55 vs 13.62 / 13.02). Forward keeps flash_default_blocks."""
+    from .attention_kernels import LANES, _round_up
+
+    np128 = _round_up(max(n, 1), LANES)
+    return min(512, np128), min(768, np128)
+
+
+def _fused_eligible(Nq: int, Dp: int) -> bool:
+    return Nq * Dp * 4 <= FUSED_DQ_VMEM_BUDGET
+
+
 # ─── launcher ───────────────────────────────────────────────────────────
 
 def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
                         block_q=None, block_kv=None,
                         interpret: bool = False, mask=None,
-                        dropout_rate: float = 0.0, dropout_seed=None):
+                        dropout_rate: float = 0.0, dropout_seed=None,
+                        fused=None):
     """Tiled VJP for flash_softmax_attention.
 
     Args:
@@ -194,17 +326,19 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
             match the forward's mask.
         dropout_rate, dropout_seed: the forward's dropout parameters; the
             per-cell keep masks rebuild from the same coordinate hash.
+        fused: True forces the fused single-pass kernel, False the
+            dq/dkv two-pass split, None (default) picks fused while its
+            full-row dq scratch fits `FUSED_DQ_VMEM_BUDGET`.
     Returns:
         (dq, dk, dv).
     """
     from .attention_kernels import (
         LANES, _pad_axis, _round_up, _seed_operand, canonical_mask,
-        flash_default_blocks,
     )
 
     B, H, N, D = q.shape
     if block_q is None or block_kv is None:
-        dq_, dkv_ = flash_default_blocks(N)
+        dq_, dkv_ = flash_bwd_default_blocks(N)
         block_q = block_q or dq_
         block_kv = block_kv or dkv_
     # Q and KV axes pad independently to their own block (see the forward).
@@ -252,6 +386,58 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, scale: float,
     if dropout_rate > 0:
         extra_operands.append(_seed_operand(dropout_seed))
         seed_spec = pl.BlockSpec((1, 1), lambda b, h, x, y: (0, 0))
+
+    if fused is None:
+        fused = _fused_eligible(Nq, Dp)
+    if fused:
+        # Fused single pass: grid (B, H, KV-tiles, Q-tiles), everything in
+        # [bq, bk] orientation (the mask tile layout matches mask_spec_dkv).
+        fused_specs = [
+            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i: (b, h, i, 0)),
+        ]
+        if has_mask:
+            fused_specs.append(mask_spec_dkv())
+        if dropout_rate > 0:
+            fused_specs.append(seed_spec)
+        dims = None
+        if _HAVE_PLTPU and not interpret:
+            dims = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary",
+                                     "arbitrary"),
+            )
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _flash_bwd_fused_kernel, scale=scale, n_q_tiles=n_q,
+                n_kv_tiles=n_kv, block_q=block_q, block_kv=block_kv,
+                seq_len=N, has_mask=has_mask, dropout_rate=dropout_rate),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, H, Nq, Dp), q.dtype),
+                jax.ShapeDtypeStruct((B, H, Nkv, Dp), k.dtype),
+                jax.ShapeDtypeStruct((B, H, Nkv, Dp), v.dtype),
+            ),
+            grid=(B, H, n_kv, n_q),
+            in_specs=fused_specs,
+            out_specs=(
+                pl.BlockSpec((1, 1, Nq, Dp), lambda b, h, j, i: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, block_kv, Dp),
+                             lambda b, h, j, i: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, Dp),
+                             lambda b, h, j, i: (b, h, j, 0)),
+            ),
+            scratch_shapes=[
+                scr((Nq, Dp), jnp.float32),
+                scr((block_kv, Dp), jnp.float32),
+                scr((block_kv, Dp), jnp.float32),
+            ] if scr else [],
+            compiler_params=dims,
+            interpret=interpret,
+        )(qp, kp, vp, gp, lsep, deltap, *extra_operands)
+        return dq[:, :, :N, :D], dk[:, :, :N, :D], dv[:, :, :N, :D]
 
     # P1: dq — accumulate over KV tiles.
     dq_specs = [

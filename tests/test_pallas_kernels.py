@@ -536,6 +536,102 @@ def test_dropout_hash_statistics():
     assert bool(jnp.any(full[0, 0, 0] != full[0, 0, 1]))
 
 
+# ─── fused single-pass flash backward (round 4) ─────────────────────────
+# One kernel produces dq/dk/dv from a single build of S and dP (5 MXU ops
+# per tile pair vs the two-pass split's 7). Auto-gated on the full-row dq
+# scratch budget; both strategies must agree with each other and the dense
+# oracle under every feature combination.
+
+def _flash_bwd_grads(q, k, v, scale, fused, mask=None, rate=0.0, seed=None):
+    from efficient_rpe_vit_tpu.ops.pallas.flash_bwd import flash_attention_bwd
+    from efficient_rpe_vit_tpu.ops.pallas.attention_kernels import (
+        _flash_fwd_impl,
+    )
+
+    out, lse = _flash_fwd_impl(q, k, v, mask, seed, scale=scale,
+                               dropout_rate=rate, block_q=128, block_kv=128,
+                               interpret=True)
+    g = jnp.ones_like(out)
+    return flash_attention_bwd(
+        q, k, v, out, lse, g, scale=scale, block_q=128, block_kv=128,
+        interpret=True, mask=mask, dropout_rate=rate, dropout_seed=seed,
+        fused=fused)
+
+
+@pytest.mark.parametrize("N", [17, 150, 384])
+def test_flash_bwd_fused_matches_two_pass(rng, N):
+    B, H, D = 1, 2, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D)) * 1.5
+    k = jax.random.normal(k2, (B, H, N, D)) * 1.5
+    v = jax.random.normal(k3, (B, H, N, D))
+    gf = _flash_bwd_grads(q, k, v, D ** -0.5, fused=True)
+    gs = _flash_bwd_grads(q, k, v, D ** -0.5, fused=False)
+    for a, b in zip(gf, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_flash_bwd_fused_mask_dropout(rng):
+    """Fused == two-pass under mask + dropout (the reference-default
+    training regime the fused path must serve at long N)."""
+    B, H, N, D, rate = 1, 2, 150, 16, 0.15
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    mask = (jax.random.uniform(k4, (B, 1, N, N)) > 0.3).astype(jnp.float32)
+    mask = jnp.maximum(mask, jnp.eye(N)[None, None])
+    seed = jnp.int32(7)
+    gf = _flash_bwd_grads(q, k, v, D ** -0.5, True, mask, rate, seed)
+    gs = _flash_bwd_grads(q, k, v, D ** -0.5, False, mask, rate, seed)
+    for a, b in zip(gf, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_flash_bwd_fused_unequal_blocks(rng):
+    """Unequal q/kv blocks: the fused kernel's full-row dq scratch indexes
+    by iq*block_q while dk/dv tiles follow block_kv."""
+    from efficient_rpe_vit_tpu.ops.pallas.flash_bwd import flash_attention_bwd
+    from efficient_rpe_vit_tpu.ops.pallas.attention_kernels import (
+        _flash_fwd_impl,
+    )
+
+    B, H, N, D = 1, 2, 190, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    v = jax.random.normal(k3, (B, H, N, D))
+    scale = D ** -0.5
+    for bq, bkv in [(192, 128), (128, 192)]:
+        out, lse = _flash_fwd_impl(q, k, v, None, None, scale=scale,
+                                   dropout_rate=0.0, block_q=bq,
+                                   block_kv=bkv, interpret=True)
+        g = jnp.ones_like(out)
+        gf = flash_attention_bwd(q, k, v, out, lse, g, scale=scale,
+                                 block_q=bq, block_kv=bkv, interpret=True,
+                                 fused=True)
+        gs = flash_attention_bwd(q, k, v, out, lse, g, scale=scale,
+                                 block_q=bq, block_kv=bkv, interpret=True,
+                                 fused=False)
+        for a, b in zip(gf, gs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_flash_bwd_fused_auto_gate():
+    """The auto gate: fused while the [Nq, 128] fp32 dq scratch fits the
+    VMEM budget, two-pass past it."""
+    from efficient_rpe_vit_tpu.ops.pallas.flash_bwd import (
+        FUSED_DQ_VMEM_BUDGET, _fused_eligible,
+    )
+
+    assert _fused_eligible(4608, 128)        # ViT-B N=4097 flagship shape
+    assert not _fused_eligible(16384, 128)   # past the scratch budget
+    assert FUSED_DQ_VMEM_BUDGET <= 8 * 1024 * 1024  # stays well under VMEM
+
+
 # ─── coeffs-native masked-linear kernels (round 4) ──────────────────────
 # Toeplitz tiles built in-kernel from coefficient windows via strided
 # rolls; dcoeffs folded into the backward. Gated against the dense oracle
