@@ -53,8 +53,58 @@ SHAPES = [
 VARIANTS = ["baseline", "performer_favor", "performer_favor_most_general"]
 
 
+def pallas_attention_flops(variant: str, B: int, H: int, N: int, D: int,
+                           depth: int, num_features) -> float:
+    """Analytic FLOPs of the Pallas attention custom calls in one train
+    step — XLA's cost analysis reports ZERO flops for custom calls, so
+    without this the MFU of any variant riding a Pallas path is
+    under-reported by the attention's entire FLOP count (measured: at
+    N=4097 the softmax row's XLA-visible flops (8.50T) came out BELOW the
+    all-XLA FAVOR+ row's (9.49T)).
+
+    Counts true (unpadded) matmul flops, mirroring the kernels:
+      * flash softmax: fwd S + PV = 2 matmuls; tiled bwd = 5 (S, dP, dv,
+        dq, dk) -> 7 * 2*B*H*N^2*D per layer (flash_bwd.py).
+      * coeffs-native KERPLE: fwd QK^T (F) + Wv (D); bwd P1 2, P2 4,
+        P3 2 -> 5 * 2*B*H*N^2*(F+D) per layer (masked_linear_coeffs.py).
+    Gated on the same dispatch conditions the model uses; returns 0 when
+    the variant runs a pure-XLA path (already counted by cost analysis).
+    """
+    from efficient_rpe_vit_tpu.ops.attention_core import (
+        KERPLE_DENSE_CROSSOVER_N,
+        KERPLE_DENSE_MEMORY_BUDGET,
+        softmax_needs_flash,
+    )
+    from efficient_rpe_vit_tpu.ops.feature_maps import (
+        default_num_features,
+        mxu_num_features,
+    )
+    from efficient_rpe_vit_tpu.ops.pallas import pallas_available
+
+    if not pallas_available():
+        return 0.0
+    if variant == "baseline":
+        if softmax_needs_flash(B, H, N):
+            return depth * 7.0 * 2 * B * H * N * N * D
+        return 0.0
+    if "most_general" in variant:  # KERPLE
+        dense_bytes = 5 * B * H * N * N * 4
+        if (N >= KERPLE_DENSE_CROSSOVER_N
+                or dense_bytes > KERPLE_DENSE_MEMORY_BUDGET):
+            if num_features == "mxu":
+                F = mxu_num_features(D)
+            elif num_features is not None:
+                F = int(num_features)
+            else:
+                F = default_num_features(D)
+            return depth * 5.0 * 2 * B * H * N * N * (F + D)
+        return 0.0
+    return 0.0  # plain linear attention: pure XLA einsums
+
+
 def bench_one(variant: str, image: int, patch: int, batch: int,
-              steps: int, warmup: int = 3, remat: bool = False):
+              steps: int, warmup: int = 3, remat: bool = False,
+              num_features=None):
     from efficient_rpe_vit_tpu.configs import mnist_config
     from efficient_rpe_vit_tpu.models import create_model
     from efficient_rpe_vit_tpu.train import create_train_state, make_train_step
@@ -67,7 +117,15 @@ def bench_one(variant: str, image: int, patch: int, batch: int,
         dim=768, depth=12, heads=12, mlp_dim=3072, dropout=0.0,
         compute_dtype="bfloat16",
     )
-    model = create_model(variant, cfg, **({"remat": True} if remat else {}))
+    kw = {}
+    if remat:
+        kw["remat"] = True
+    if num_features is not None and variant != "baseline":
+        # 'mxu' -> lane-aligned feature count (256 at D=64 instead of the
+        # paper default 266, which pads to 384 lanes: 1.44x wasted MXU
+        # work on every F matmul); ints pass through
+        kw["attention_config"] = {"num_features": num_features}
+    model = create_model(variant, cfg, **kw)
     rng = jax.random.PRNGKey(0)
     m = cfg.model
     sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
@@ -117,8 +175,15 @@ def bench_one(variant: str, image: int, patch: int, batch: int,
         "images_per_sec": batch * steps / elapsed,
     }
     if flops is not None:
-        out["flops_per_step"] = flops
-        out["mfu"] = flops * steps / elapsed / PEAK_FLOPS_BF16
+        pallas_flops = pallas_attention_flops(
+            variant, batch, 12, (image // patch) ** 2 + 1, 64, 12,
+            num_features)
+        out["flops_per_step_xla"] = flops
+        out["mfu_xla"] = flops * steps / elapsed / PEAK_FLOPS_BF16
+        if pallas_flops:
+            out["pallas_attention_flops"] = pallas_flops
+        out["flops_per_step"] = flops + pallas_flops
+        out["mfu"] = out["flops_per_step"] * steps / elapsed / PEAK_FLOPS_BF16
     return out
 
 
@@ -132,7 +197,14 @@ def main():
                          "for HBM at long N)")
     ap.add_argument("--shapes", nargs="+", default=None,
                     help="subset of shape labels, e.g. N=197 N=1025")
+    ap.add_argument("--num-features", default=None,
+                    help="linear-attention feature count: an int or 'mxu' "
+                         "(lane-aligned; ops/feature_maps.py). Default: "
+                         "the paper default floor(d ln d) = 266 at D=64.")
     args = ap.parse_args()
+    num_features = args.num_features
+    if num_features is not None and num_features != "mxu":
+        num_features = int(num_features)
 
     backend = jax.default_backend()
     print(f"backend={backend}  ViT-B dims: 768/12h/D64, mlp 3072, "
@@ -145,7 +217,7 @@ def main():
         for variant in args.variants:
             try:
                 r = bench_one(variant, image, patch, batch, steps,
-                              remat=args.remat)
+                              remat=args.remat, num_features=num_features)
             except Exception as e:
                 print(f"{label} {variant}: FAILED {type(e).__name__}: "
                       f"{str(e)[:300]}")
@@ -162,6 +234,8 @@ def main():
     result = {"backend": backend, "dims": {"dim": 768, "heads": 12,
               "head_dim": 64, "mlp_dim": 3072, "depth": 12,
               "dtype": "bfloat16"}, "rows": rows}
+    if num_features is not None:
+        result["num_features"] = num_features
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
