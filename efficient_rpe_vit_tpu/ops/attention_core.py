@@ -75,10 +75,15 @@ KERPLE_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 5 temps
 # 8.73 vs 23.15 ms at N=4096). Per the round-2 lesson (kernel wins must
 # survive the model level — the Pallas call is a fusion barrier), the
 # threshold is set from FULL ViT-Base train-step A/Bs, not the isolated
-# kernel: at N=1025 dense still wins (75.2 vs 68.9 img/s) while at N=2026
-# flash wins 1.64x (41.9 vs 25.5 img/s), so the model-level crossover sits
-# between; 1536 splits the bracket. Past that, flash's advantage grows
-# with N (docs/BENCHMARKING.md round-3 tables).
+# kernel. The round-4 fused single-pass backward (1.35x faster than the
+# two-pass split) moved the boundary DOWN from round 3's 1025..2026
+# bracket (dense won N=1025 by 9% then): re-bracketed with the fused
+# backward live (experiments/flash_crossover.py,
+# results/flash_crossover_r4_mid.json), dense wins N=577 by 2.0%
+# (180.1 vs 176.6 img/s) while flash wins N=785 by 5.3% (121.6 vs 115.5)
+# and N=1025 by 5.8% (79.7 vs 75.3), so the crossover sits in (577, 785);
+# 768 splits the bracket lane-aligned. Past that, flash's advantage
+# grows with N (docs/BENCHMARKING.md round-3/4 tables).
 #
 # The dispatch stays MEMORY-aware as well, mirroring the KERPLE byte
 # guard: the dense path's fwd+bwd holds ~3 live [B,H,N,N] fp32 temps
@@ -87,7 +92,7 @@ KERPLE_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 5 temps
 # experiments/scaling_ab.py / README scaling table) while the flash
 # kernel — whose fwd AND tiled bwd keep nothing quadratic in HBM — keeps
 # running regardless of batch.
-FLASH_MIN_N = 1536  # model-level time crossover (bracketed 1025..2026)
+FLASH_MIN_N = 768  # model-level time crossover (r4 fused bwd: bracketed 577..785)
 SOFTMAX_DENSE_MEMORY_BUDGET = 8 * 1024**3  # ~half of v5e HBM for the 3 temps
 
 

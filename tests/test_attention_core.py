@@ -209,22 +209,25 @@ def test_kerple_dense_custom_vjp_matches_fft_autodiff(kerple_inputs):
 def test_softmax_needs_flash_decision():
     """Short sequences stay on the dense path; flash takes over past the
     model-level time crossover FLASH_MIN_N (bracketed by full-train-step
-    A/Bs: dense wins at N=1025, tuned flash wins 1.64x at N=2026), and in
-    any regime where the ~3 live [B,H,N,N] fp32 temps would OOM
-    (B=8 H=8 N=4096 is the measured failure point,
-    experiments/scaling_ab.py)."""
+    A/Bs with the round-4 fused backward live: dense wins N=577 by 2%,
+    flash wins N=785 by 5.3% and N=1025 by 5.8% —
+    results/flash_crossover_r4_mid.json), and in any regime where the ~3
+    live [B,H,N,N] fp32 temps would OOM (B=8 H=8 N=4096 is the measured
+    failure point, experiments/scaling_ab.py)."""
     from efficient_rpe_vit_tpu.ops import attention_core
     from efficient_rpe_vit_tpu.ops.attention_core import softmax_needs_flash
 
     assert not softmax_needs_flash(8, 2, 197)     # bench shape: dense
     assert not softmax_needs_flash(256, 2, 197)   # big batch, small N: dense
-    assert not softmax_needs_flash(16, 12, 1025)  # ViT-B: dense still wins
-    assert softmax_needs_flash(8, 12, 2026)       # time crossover: flash
+    assert not softmax_needs_flash(32, 12, 577)   # dense still wins (measured)
+    assert softmax_needs_flash(24, 12, 785)       # flash wins (measured)
+    assert softmax_needs_flash(16, 12, 1025)      # flash wins (measured, r4)
+    assert softmax_needs_flash(8, 12, 2026)       # deep flash regime
     assert softmax_needs_flash(8, 8, 4096)        # 12.9 GB temps: flash
     assert softmax_needs_flash(1, 8, 16384)       # 25.8 GB temps: flash
     assert softmax_needs_flash(64, 8, 4096)       # bigger batch: still flash
     # the memory guard fires independently of the time threshold
-    assert 1025 < attention_core.FLASH_MIN_N <= 2026
+    assert 577 < attention_core.FLASH_MIN_N <= 785
     old = attention_core.FLASH_MIN_N
     try:
         attention_core.FLASH_MIN_N = 10**9
