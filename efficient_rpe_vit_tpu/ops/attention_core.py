@@ -142,7 +142,14 @@ def softmax_attention(q, k, v, scale, mask=None, return_attention: bool = False,
     budget it is refused loudly instead of letting XLA OOM at compile.
     """
     needs_flash = softmax_needs_flash(q.shape[0], q.shape[1], q.shape[2])
-    if needs_flash and not return_attention and _pallas_ok():
+    # Pallas grids must be static: under jax.export shape polymorphism
+    # (symbolic batch) the flash kernel cannot trace at all, so serving
+    # exports take the dense path regardless of N — the artifact's serve
+    # batch is modest (same assumption as _concrete_bytes), and a working
+    # dense program beats a trace-time crash.
+    concrete_batch = isinstance(q.shape[0], int)
+    if (needs_flash and concrete_batch and not return_attention
+            and _pallas_ok()):
         from .pallas import flash_softmax_attention
 
         seed = (
@@ -239,6 +246,11 @@ def kerple_linear_attention(q_prime, k_prime, v, coeffs, method: str = "auto",
         if (n < KERPLE_DENSE_CROSSOVER_N
                 and dense_bytes <= KERPLE_DENSE_MEMORY_BUDGET):
             method = "dense"
+        elif not isinstance(b, int):
+            # symbolic batch (jax.export) past the dense wall: Pallas
+            # grids must be static, so exports fall back to the FFT path
+            # (traces fine with symbolic leading dims)
+            method = "fft"
         elif _pallas_ok():
             # Past the dense wall the fused Pallas kernel is the fast
             # path: since round 4 its fwd AND bwd build Toeplitz tiles

@@ -367,3 +367,73 @@ def test_export_roundtrip_cifar_config(tmp_path):
         ref = model.apply(variables, xb, deterministic=True)
         np.testing.assert_allclose(np.asarray(fn(xb)), np.asarray(ref),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_export_symbolic_batch_stays_off_pallas(tmp_path, monkeypatch):
+    """A symbolic-batch export trace must NEVER reach a Pallas kernel:
+    Pallas grids are static, so on a TPU host exporting a model whose N
+    crosses FLASH_MIN_N (768 since round 4) would crash at trace time if
+    the dispatch didn't check batch concreteness. Simulate the TPU
+    condition on CPU by forcing _pallas_ok() True and FLASH_MIN_N below
+    this model's N=17: the concrete-batch guard must route the export
+    trace to the dense path (any flash attempt would raise inside
+    flash_softmax_attention on a symbolic grid)."""
+    from efficient_rpe_vit_tpu.ops import attention_core
+
+    cfg, model, variables = _build("baseline")
+    m = cfg.model
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (3, m.image_size, m.image_size, m.in_channels))
+    # reference logits computed BEFORE the fake-TPU patch (a concrete
+    # CPU run with _pallas_ok forced True would itself hit the
+    # no-Pallas-on-CPU error — only the symbolic export trace is under
+    # test here)
+    ref = model.apply(variables, x, deterministic=True)
+
+    monkeypatch.setattr(attention_core, "_pallas_ok", lambda: True)
+    monkeypatch.setattr(attention_core, "FLASH_MIN_N", 16)
+
+    path = str(tmp_path / "model.hlo")
+    save_exported(path, model, variables,
+                  image_size=m.image_size, in_channels=m.in_channels)
+    fn, _ = load_exported(path)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_kerple_auto_symbolic_batch_past_wall_uses_fft():
+    """KERPLE 'auto' with a symbolic batch past the dense wall must pick
+    the FFT path (Pallas can't trace a symbolic grid; dense would exceed
+    the byte budget only for concrete shapes anyway). Checked at the
+    dispatch level with jax.export symbolic dims."""
+    from jax import export as jax_export
+
+    from efficient_rpe_vit_tpu.ops import attention_core
+
+    (b,) = jax_export.symbolic_shape("b")
+    n = attention_core.KERPLE_DENSE_CROSSOVER_N  # past the hard N cap
+    captured = {}
+
+    def fake_fft(q, k, v, coeffs, fft_block):
+        captured["method"] = "fft"
+        return v
+
+    def fake_pallas(q, k, v, coeffs, interpret=False):
+        captured["method"] = "pallas"
+        return v
+
+    old_fft, old_pallas = attention_core._kerple_fft, attention_core._kerple_pallas
+    attention_core._kerple_fft = fake_fft
+    attention_core._kerple_pallas = fake_pallas
+    try:
+        q = jax.ShapeDtypeStruct((b, 2, n, 8), jnp.float32)
+        # abstract trace only — enough to exercise the dispatch branch
+        jax.eval_shape(
+            lambda qq: attention_core.kerple_linear_attention(
+                qq, qq, qq, jnp.ones((2, 2 * n - 1)), method="auto"),
+            q,
+        )
+    finally:
+        attention_core._kerple_fft = old_fft
+        attention_core._kerple_pallas = old_pallas
+    assert captured["method"] == "fft"
