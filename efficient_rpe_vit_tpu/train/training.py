@@ -485,17 +485,25 @@ def _gather_multi_core(model, label_smoothing: float = 0.0,
 
 def make_ensemble_gather_multi_step(model, donate: bool = True,
                                     label_smoothing: float = 0.0,
-                                    augment: Optional[str] = None) -> Callable:
+                                    augment: Optional[str] = None,
+                                    per_member_order: bool = False) -> Callable:
     """K gather-fused train steps for ALL ensemble members in one program
     (compose `make_gather_multi_step` x `make_ensemble_train_step`):
-    (state [S-stacked], images_u8, labels_all, mean, std, idx [K, B],
+    (state [S-stacked], images_u8, labels_all, mean, std, idx,
     dropout_keys [S, 2]) -> (state, losses [S, K], corrects [S, K]).
-    Members share the epoch's batch order; each member scans its own
-    dropout/augment key chain. An entire S-seed x K-step epoch chunk is
-    ONE dispatch."""
+    Each member scans its own dropout/augment key chain. An entire
+    S-seed x K-step epoch chunk is ONE dispatch.
+
+    per_member_order=False: idx is [K, B], shared across members.
+    per_member_order=True: idx is [S, K, B] — each member gathers its own
+    batch rows, so ensemble members can replay the exact per-seed shuffle
+    streams of sequential multi-seed runs (`ensemble_train_epoch`'s
+    `member_rngs`) and their accuracy spread measures the same
+    independence as sequential benchmarking."""
     core = _gather_multi_core(model, label_smoothing, augment)
+    idx_axis = 0 if per_member_order else None
     return jax.jit(
-        jax.vmap(core, in_axes=(0, None, None, None, None, None, 0)),
+        jax.vmap(core, in_axes=(0, None, None, None, None, idx_axis, 0)),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -611,15 +619,22 @@ def _index_chunks(order, bs: int, n: int, drop_last: bool,
 def ensemble_train_epoch(state: TrainState, ens_gather_step: Callable,
                          dataset, rng, n_members: int, epoch: int = 0,
                          fused_steps: int = 64,
+                         member_rngs: Optional[list] = None,
                          verbose: bool = True) -> Tuple[TrainState, Dict]:
     """One epoch for ALL ensemble members simultaneously (gather-fused).
 
-    The epoch's shuffled index order is shared across members (the
-    reference's benchmark seeds all see the same torchvision loader
-    order up to seed differences; here order is shared and members
-    differ by init + dropout/augment keys). Each [K, B] chunk is ONE
-    dispatch training every member K steps. Returns per-member metrics:
-    `loss`/`accuracy` are length-S lists.
+    With `member_rngs` (a list of S `np.random.Generator`s, one per seed,
+    persisted by the caller across epochs), every member draws its OWN
+    epoch permutation — seeding them `np.random.default_rng(seed_i)`
+    replays exactly the shuffle stream a sequential run with seed_i sees
+    (data/pipeline.py:141,166), so members differ by init, dropout/augment
+    keys AND data order, and the ensemble accuracy spread is
+    commensurable with sequential multi-seed variance. Requires the step
+    to be built with `per_member_order=True`. Without `member_rngs` the
+    order is shared (idx [K, B], per_member_order=False step).
+
+    Each chunk is ONE dispatch training every member K steps. Returns
+    per-member metrics: `loss`/`accuracy` are length-S lists.
     """
     import numpy as np
 
@@ -628,8 +643,25 @@ def ensemble_train_epoch(state: TrainState, ens_gather_step: Callable,
     total_correct = jnp.zeros((n_members,), jnp.int32)
     total_seen = 0
 
-    chunks = _index_chunks(dataset.epoch_order(), dataset.batch_size,
-                           dataset.n, dataset.drop_last, fused_steps)
+    if member_rngs is not None:
+        if len(member_rngs) != n_members:
+            raise ValueError(
+                f"member_rngs has {len(member_rngs)} generators for "
+                f"{n_members} members")
+        per_member = [
+            _index_chunks(
+                g.permutation(dataset.n) if dataset.shuffle
+                else np.arange(dataset.n),
+                dataset.batch_size, dataset.n, dataset.drop_last,
+                fused_steps)
+            for g in member_rngs
+        ]
+        # chunk shapes are identical across members (same n/bs/K), so each
+        # stacked chunk is a rectangular [S, K, B] gather-index array
+        chunks = [np.stack(cs) for cs in zip(*per_member)]
+    else:
+        chunks = _index_chunks(dataset.epoch_order(), dataset.batch_size,
+                               dataset.n, dataset.drop_last, fused_steps)
     for chunk in chunks:
         rng, sub = jax.random.split(rng)
         member_keys = jax.random.split(sub, n_members)
@@ -637,9 +669,11 @@ def ensemble_train_epoch(state: TrainState, ens_gather_step: Callable,
             state, dataset.images, dataset.labels, dataset.mean,
             dataset.std, jnp.asarray(chunk.astype(np.int32)), member_keys,
         )
-        total_loss = total_loss + jnp.sum(losses, axis=1) * chunk.shape[1]
+        # chunk is [K, B] (shared order) or [S, K, B] (per-member): each
+        # member sees K*B = chunk.shape[-2:]-many samples either way
+        total_loss = total_loss + jnp.sum(losses, axis=1) * chunk.shape[-1]
         total_correct = total_correct + jnp.sum(corrects, axis=1)
-        total_seen += chunk.size
+        total_seen += chunk.shape[-2] * chunk.shape[-1]
 
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     final_loss = np.asarray(

@@ -177,6 +177,7 @@ def run_ensemble_benchmark(model_name: str, seeds, model_dir: str, args):
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from efficient_rpe_vit_tpu.configs import get_dataset_config
     from efficient_rpe_vit_tpu.data import get_dataloaders
@@ -249,7 +250,14 @@ def run_ensemble_benchmark(model_name: str, seeds, model_dir: str, args):
         model, donate=True,
         label_smoothing=args.label_smoothing or 0.0,
         augment=train_ds.augment,
+        per_member_order=True,
     )
+    # per-member data orders: member i replays the exact shuffle stream a
+    # sequential run with seed_i would see (DeviceDataset seeds its
+    # permutation RNG `default_rng(seed)`, data/pipeline.py:141), so the
+    # ensemble accuracy spread measures the same independence as
+    # sequential multi-seed benchmarking (VERDICT r4 item 8)
+    member_rngs = [np.random.default_rng(s) for s in seeds]
     ens_eval = make_ensemble_gather_multi_eval(model)
     # `or` would silently map an explicit --fused-steps 0 to the default
     fused_steps = 64 if args.fused_steps is None else args.fused_steps
@@ -264,7 +272,8 @@ def run_ensemble_benchmark(model_name: str, seeds, model_dir: str, args):
         rng, epoch_key = jax.random.split(rng)
         state, tm = ensemble_train_epoch(
             state, ens_step, train_ds, epoch_key, S, epoch=epoch,
-            fused_steps=fused_steps, verbose=not args.quiet,
+            fused_steps=fused_steps, member_rngs=member_rngs,
+            verbose=not args.quiet,
         )
         em = ensemble_evaluate(state.eval_view(), ens_eval, test_ds, S,
                                fused_steps=fused_steps)
@@ -370,12 +379,10 @@ def _aggregate_model(model, model_dir, runs, summary, args,
         agg["measurement_note"] += (
             " Ensemble mode: train_time is the SHARED wall time in which "
             "all seeds trained simultaneously (one vmapped program), so "
-            "its per-run variance is zero by construction. Ensemble "
-            "members also share ONE dataset shuffle/augmentation order "
-            "(seeded from the first seed) and differ only by init and "
-            "dropout/augment keys, so the accuracy spread here measures "
-            "less independence than sequential multi-seed runs — do not "
-            "compare these std/min/max against sequential-mode aggregates."
+            "its per-run variance is zero by construction. Each member "
+            "draws its own per-seed data order (the exact shuffle stream "
+            "a sequential run with that seed sees), so accuracy spread is "
+            "commensurable with sequential multi-seed aggregates."
         )
     save_run_metrics(os.path.join(model_dir, "aggregated_stats.json"), agg)
     summary[model] = agg
@@ -413,6 +420,7 @@ def main(argv=None):
     save_benchmark_config(out_dir, {
         "models": args.models, "dataset": args.dataset, "seeds": seeds,
         "epochs": args.epochs, "batch_size": args.batch_size,
+        "augmentation": args.augmentation,
         "compute_dtype": args.compute_dtype,
         "mlp_type": args.mlp_type, "num_experts": args.num_experts,
         "num_features": args.num_features,

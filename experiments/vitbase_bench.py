@@ -83,11 +83,14 @@ def pallas_attention_flops(variant: str, B: int, H: int, N: int, D: int,
 
     if not pallas_available():
         return 0.0
-    if variant == "baseline":
+    if variant.startswith("baseline") or variant == "vit":
+        # the softmax family: rope/circulant rotations are XLA-side ops on
+        # q/k BEFORE the flash kernel (models/attention.py:97-99), already
+        # counted by cost analysis — the kernel flops are identical
         if softmax_needs_flash(B, H, N):
             return depth * 7.0 * 2 * B * H * N * N * D
         return 0.0
-    if "most_general" in variant:  # KERPLE
+    if "most_general" in variant:  # KERPLE (favor_plus and relu families)
         dense_bytes = 5 * B * H * N * N * 4
         if (N >= KERPLE_DENSE_CROSSOVER_N
                 or dense_bytes > KERPLE_DENSE_MEMORY_BUDGET):
