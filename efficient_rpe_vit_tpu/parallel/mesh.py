@@ -70,35 +70,70 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def make_param_specs(params, mesh: Mesh, model_axis: str = "model"):
+def _add_fsdp_axis(spec: P, shape, axis_name: str, size: int) -> P:
+    """Extend a (possibly model-split) spec with a ZeRO-style shard of the
+    LARGEST still-unsharded dim over `axis_name`, when it divides evenly.
+
+    Leaves that don't divide (biases, layer norms, cls token, tiny heads
+    tables) stay as-is — replication over the data axis is always correct,
+    and those leaves are a rounding error of the parameter bytes anyway."""
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best = None
+    for d, (e, n) in enumerate(zip(entries, shape)):
+        if e is None and n % size == 0 and n // size >= 1:
+            if best is None or n > shape[best]:
+                best = d
+    if best is None:
+        return spec
+    entries[best] = axis_name
+    while entries and entries[-1] is None:
+        entries.pop()
+    return P(*entries)
+
+
+def make_param_specs(params, mesh: Mesh, model_axis: str = "model",
+                     fsdp_axis: str = None):
     """PartitionSpec pytree for a ViT params tree.
 
-    Everything is replicated across 'data'; head-structured tensors split
-    across `model_axis` when shapes divide evenly. A mesh without
+    Head-structured tensors split across `model_axis` when shapes divide
+    evenly (Megatron TP); everything else replicates. A mesh without
     `model_axis` (e.g. a ('data', 'seq') context-parallel mesh) replicates
     all parameters.
+
+    `fsdp_axis` (typically 'data') additionally shards every leaf's largest
+    still-unsharded dim over that axis — the ZeRO/FSDP analogue: parameters
+    and (via the mirrored opt-state specs) Adam moments live scattered over
+    the data axis, XLA all-gathers them at use sites and reduce-scatters
+    the gradients, so per-device state bytes shrink ~n_data-fold.
     """
     size = mesh.shape[model_axis] if model_axis in mesh.axis_names else 1
+    fsdp_size = (
+        mesh.shape[fsdp_axis]
+        if fsdp_axis is not None and fsdp_axis in mesh.axis_names else 1
+    )
 
     def spec_for(path, x):
         name = _path_str(path)
+        spec = P()
         if size > 1:
             if any(name.endswith(s) for s in _COLUMN_KERNELS):
                 if x.shape[-1] % size == 0:
-                    return P(None, model_axis)
-            if any(name.endswith(s) for s in _ROW_KERNELS):
+                    spec = P(None, model_axis)
+            elif any(name.endswith(s) for s in _ROW_KERNELS):
                 if x.shape[0] % size == 0:
-                    return P(model_axis, None)
-            if any(name.endswith(s) for s in _COLUMN_BIASES):
+                    spec = P(model_axis, None)
+            elif any(name.endswith(s) for s in _COLUMN_BIASES):
                 if x.shape[-1] % size == 0:
-                    return P(model_axis)
-            if name.endswith("omega") and x.shape[0] % size == 0:
-                return P(model_axis, None, None)  # [heads, d, m] head-split
-            if name.endswith("rel_pos_bias") and x.shape[0] % size == 0:
-                return P(model_axis, None)  # [heads, 2n-1]
-            if name.endswith("circulant_coeffs") and x.shape[0] % size == 0:
-                return P(model_axis, None, None)  # [heads, coord, d]
-        return P()  # replicated
+                    spec = P(model_axis)
+            elif name.endswith("omega") and x.shape[0] % size == 0:
+                spec = P(model_axis, None, None)  # [heads, d, m] head-split
+            elif name.endswith("rel_pos_bias") and x.shape[0] % size == 0:
+                spec = P(model_axis, None)  # [heads, 2n-1]
+            elif name.endswith("circulant_coeffs") and x.shape[0] % size == 0:
+                spec = P(model_axis, None, None)  # [heads, coord, d]
+        if fsdp_size > 1:
+            spec = _add_fsdp_axis(spec, x.shape, fsdp_axis, fsdp_size)
+        return spec
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 

@@ -27,9 +27,12 @@ from ..train.training import (
 from .mesh import batch_spec, make_param_specs, shard_pytree
 
 
-def _state_specs(state: TrainState, mesh: Mesh):
-    """PartitionSpec tree matching a TrainState."""
-    param_specs = make_param_specs(state.params, mesh)
+def _state_specs(state: TrainState, mesh: Mesh, fsdp_axis: str = None):
+    """PartitionSpec tree matching a TrainState. `fsdp_axis` (e.g. 'data')
+    additionally ZeRO-shards params/moments/EMA over that axis — the
+    opt-state and EMA trees mirror the param specs leaf-for-leaf, so the
+    whole optimizer state scatters with them."""
+    param_specs = make_param_specs(state.params, mesh, fsdp_axis=fsdp_axis)
 
     # optax moments mirror the params TREE (adam mu/nu etc.), so match by
     # tree structure, not leaf shape: any opt_state subtree whose structure
@@ -63,8 +66,9 @@ def _state_specs(state: TrainState, mesh: Mesh):
     )
     # constants (omega buffers) use the same path rules as params, so
     # head-structured buffers split across 'model' like their parameters
+    # (and scatter over the fsdp axis with them)
     const_specs = (
-        make_param_specs(state.constants, mesh)
+        make_param_specs(state.constants, mesh, fsdp_axis=fsdp_axis)
         if state.constants is not None
         else None
     )
@@ -86,9 +90,16 @@ def _state_specs(state: TrainState, mesh: Mesh):
 
 def create_sharded_train_state(
     model, config, rng, sample_input, mesh: Mesh, steps_per_epoch: int = 100,
-    ema_decay: float = 0.0
+    ema_decay: float = 0.0, fsdp: bool = False, fsdp_axis: str = "data",
 ) -> Tuple[TrainState, TrainState]:
     """Initialise a TrainState and place it on the mesh.
+
+    `fsdp=True` ZeRO-shards parameters, Adam moments and the EMA shadow
+    over `fsdp_axis` (VERDICT r4 #6): each leaf's largest divisible dim
+    scatters across the data axis, XLA all-gathers params at use and
+    reduce-scatters gradients — per-device state bytes shrink ~n_data-fold
+    (asserted by tests/test_parallel.py). Composes with Megatron TP: a
+    leaf can be P('data', 'model')-sharded on both axes.
 
     Returns (state, state_specs) where specs is the PartitionSpec pytree
     used for the jitted step's in/out shardings.
@@ -97,7 +108,7 @@ def create_sharded_train_state(
         model, config, rng, sample_input, steps_per_epoch=steps_per_epoch,
         ema_decay=ema_decay,
     )
-    specs = _state_specs(state, mesh)
+    specs = _state_specs(state, mesh, fsdp_axis=fsdp_axis if fsdp else None)
 
     def put(x, s):
         return jax.device_put(x, NamedSharding(mesh, s))

@@ -564,3 +564,79 @@ def test_parallel_epoch_fused_matches_plain(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
                     jax.tree_util.tree_leaves(s_fused.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fsdp_shards_params_and_matches_replicated(rng):
+    """FSDP (VERDICT r4 #6): create_sharded_train_state(fsdp=True) scatters
+    params + Adam moments over 'data' — per-device param bytes shrink
+    ~n_data-fold for the shardable leaves — and the train step computes the
+    SAME update as replicated-DP (XLA inserts the all-gathers /
+    reduce-scatters from the annotations; the math is unchanged)."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("baseline", cfg)
+    sample = jnp.zeros((2, 28, 28, 1))
+    mesh = make_mesh()  # 8-way over 'data'
+
+    state_r, specs_r = create_sharded_train_state(
+        model, cfg, rng, sample, mesh)
+    state_f, specs_f = create_sharded_train_state(
+        model, cfg, rng, sample, mesh, fsdp=True)
+
+    # every dim-divisible leaf carries 'data' somewhere in its spec, and
+    # its per-device shard holds 1/8 of the elements
+    n_data = mesh.shape["data"]
+    n_sharded = 0
+    for spec, leaf in zip(jax.tree_util.tree_leaves(
+                              specs_f.params,
+                              is_leaf=lambda x: isinstance(x, P)),
+                          jax.tree_util.tree_leaves(state_f.params)):
+        if "data" in tuple(spec):
+            n_sharded += 1
+            shard = leaf.addressable_shards[0].data
+            assert shard.size * n_data == leaf.size
+    assert n_sharded >= 4  # qkv/proj/fc1/fc2 kernels at minimum
+
+    # total per-device param bytes shrink vs replicated
+    def device0_bytes(state):
+        return sum(
+            l.addressable_shards[0].data.size * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(state.params))
+    assert device0_bytes(state_f) < 0.5 * device0_bytes(state_r)
+
+    # adam moments mirror the param specs (so they scatter too)
+    mu_leaves = jax.tree_util.tree_leaves(state_f.opt_state)
+    big = max(mu_leaves, key=lambda l: getattr(l, "size", 0))
+    assert big.addressable_shards[0].data.size * n_data == big.size
+
+    # identical update vs replicated DP
+    step_r = make_parallel_train_step(model, mesh, specs_r, donate=False)
+    step_f = make_parallel_train_step(model, mesh, specs_f, donate=False)
+    B = 32
+    images = jax.random.normal(jax.random.fold_in(rng, 1), (B, 28, 28, 1))
+    labels = jnp.arange(B) % 10
+    key = jax.random.PRNGKey(7)
+    sr, lr, cr = step_r(state_r, images, labels, key)
+    sf, lf, cf = step_f(state_f, images, labels, key)
+    assert abs(float(lr) - float(lf)) < 1e-5
+    assert int(cr) == int(cf)
+    for a, b in zip(jax.tree_util.tree_leaves(sr.params),
+                    jax.tree_util.tree_leaves(sf.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fsdp_composes_with_tp(rng):
+    """FSDP x TP: on a 4x2 (data, model) mesh a column kernel ends up
+    P('data', 'model') — scattered on BOTH axes — and the step still runs."""
+    cfg = mnist_config(dropout=0.0)
+    model = create_model("performer_favor", cfg)
+    sample = jnp.zeros((2, 28, 28, 1))
+    mesh = make_mesh(n_model=2)
+    state, specs = create_sharded_train_state(
+        model, cfg, rng, sample, mesh, fsdp=True)
+    qkv_spec = specs.params["block_0"]["attention"]["qkv"]["kernel"]
+    assert tuple(qkv_spec) == ("data", "model")
+    step = make_parallel_train_step(model, mesh, specs, donate=False)
+    images = jax.random.normal(jax.random.fold_in(rng, 2), (16, 28, 28, 1))
+    labels = jnp.arange(16) % 10
+    s2, loss, correct = step(state, images, labels, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
