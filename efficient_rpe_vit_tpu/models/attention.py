@@ -170,6 +170,13 @@ class _KernelAttention(nn.Module):
     # (parallel/seq_parallel.py). Exact: matches single-device outputs.
     seq_mesh: Optional[Mesh] = None
     seq_axis: str = "seq"
+    # KERPLE-only: compute phi INSIDE the Pallas coeffs kernel
+    # (ops/pallas/masked_linear_coeffs.py::kerple_attention_fused_phi,
+    # SURVEY §7 step 8(b)) so q'/k' never roundtrip HBM on the forward.
+    # Explicit A/B knob, not a default: the k-side phi recompute costs
+    # ~+9% kernel flops per tile — see results/fused_phi_ab_r5.json for
+    # the model-level verdict.
+    fused_phi: bool = False
 
     feature_kind: str = "favor_plus"  # overridden by subclasses
 
@@ -273,6 +280,28 @@ class _KernelAttention(nn.Module):
             k = _safe_normalize(k)
         else:
             q, k = q * scale, k * scale
+
+        if self.fused_phi and use_kerple and self.seq_mesh is None:
+            if self.feature_kind not in ("favor_plus", "relu"):
+                raise NotImplementedError(
+                    f"fused_phi supports favor_plus/relu, not "
+                    f"{self.feature_kind}"
+                )
+            from ..ops.pallas import (
+                kerple_attention_fused_phi,
+                pallas_available,
+            )
+
+            # interpret mode off-TPU keeps the flag testable on CPU
+            out = kerple_attention_fused_phi(
+                q, k, v, omega, rpe.coeffs(), self.feature_kind,
+                interpret=not pallas_available(),
+            )
+            out = _merge_heads(out)
+            out = nn.Dense(self.dim, name="proj", dtype=jnp.dtype(self.dtype),
+                           kernel_init=nn.initializers.xavier_uniform())(out)
+            out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+            return out
 
         # Long-N memory guard: XLA keeps each phi's fp32 exp output alive
         # as an autodiff residual (measured 289 MB x 2 per block at ViT-B

@@ -203,22 +203,19 @@ class CirculantStringRPE(nn.Module):
     def rotate(self, q, k):
         """Rotate q/k patch tokens; CLS passes through."""
         if self._blocked:
-            from ..ops.rotations import apply_block_circulant_rotation
+            from ..ops.rotations import (
+                _rotate_keep_cls,
+                apply_block_circulant_rotation,
+            )
 
             if q.shape[2] <= 1:
                 return q, k
-            import jax.numpy as jnp
-
-            q_rot = jnp.concatenate(
-                [q[:, :, :1], apply_block_circulant_rotation(
-                    q[:, :, 1:], self._positions, self.circulant_coeffs)],
-                axis=2,
-            )
-            k_rot = jnp.concatenate(
-                [k[:, :, :1], apply_block_circulant_rotation(
-                    k[:, :, 1:], self._positions, self.circulant_coeffs)],
-                axis=2,
-            )
+            q_rot = _rotate_keep_cls(
+                apply_block_circulant_rotation, q, self._positions,
+                self.circulant_coeffs)
+            k_rot = _rotate_keep_cls(
+                apply_block_circulant_rotation, k, self._positions,
+                self.circulant_coeffs)
             return q_rot, k_rot
         return apply_circulant_string(q, k, self._positions, self.circulant_coeffs)
 

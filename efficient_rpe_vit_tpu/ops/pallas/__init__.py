@@ -10,11 +10,15 @@ from .attention_kernels import (
     fused_masked_linear_attention,
     pallas_available,
 )
-from .masked_linear_coeffs import masked_linear_attention_coeffs
+from .masked_linear_coeffs import (
+    kerple_attention_fused_phi,
+    masked_linear_attention_coeffs,
+)
 
 __all__ = [
     "flash_softmax_attention",
     "fused_masked_linear_attention",
+    "kerple_attention_fused_phi",
     "masked_linear_attention_coeffs",
     "pallas_available",
 ]

@@ -194,8 +194,11 @@ def _masked_linear_kernel(q_ref, k_ref, v_ref, t_ref, o_ref, d_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
     w = s * t_ref[0]  # Toeplitz mask (zero-padded -> exact zeros)
+    # second-stage matmul at the input dtype (fp32 accumulate): no-op for
+    # fp32 inputs, full MXU rate for bf16 — the numerator and denominator
+    # both divide by the same den so the ~0.4% bf16 rounding is relative
     acc_ref[...] += jnp.dot(
-        w, v_ref[0, 0].astype(jnp.float32), preferred_element_type=jnp.float32
+        w.astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
     )
     den_ref[...] += jnp.sum(w, axis=1, keepdims=True)
 
@@ -407,8 +410,12 @@ def _flash_kernel(*refs, scale: float, n_kv_tiles: int, block_q: int,
     else:
         p_acc = p
 
+    # P rides the MXU at the INPUT dtype (fp32 accumulate): softmax
+    # probabilities are in [0, 1] where bf16 carries ~3 decimal digits —
+    # the standard flash-attention P cast. For fp32 inputs the cast is a
+    # no-op; for bf16 it doubles the P.V matmul's MXU rate.
     acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-        p_acc, v_ref[0, 0].astype(jnp.float32),
+        p_acc.astype(v_ref.dtype), v_ref[0, 0],
         preferred_element_type=jnp.float32,
     )
 

@@ -112,7 +112,11 @@ def _flash_dq_kernel(*refs, scale: float, n_kv_tiles: int, block_q: int,
         # survives dropout (out itself is the dropped sum)
         dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
     ds = p * (dp - delta_ref[0, 0])         # delta: [bq, 1]
-    acc_ref[...] += jnp.dot(ds, k.astype(jnp.float32),
+    # second-stage matmuls run at the INPUT dtype (fp32 accumulate): a
+    # no-op for fp32 inputs, double MXU rate for bf16 — the standard
+    # flash-attention dS/P cast (dS is O(p), already bf16-noise-dominated
+    # by the bf16 q/k/v/g operands feeding it)
+    acc_ref[...] += jnp.dot(ds.astype(k.dtype), k,
                             preferred_element_type=jnp.float32)
 
     @pl.when(jk == n_kv_tiles - 1)
@@ -166,7 +170,8 @@ def _flash_dkv_kernel(*refs, scale: float, n_q_tiles: int, block_q: int,
         keep_T, inv_keep, p_T_eff = None, 1.0, p_T
 
     # dv_j = sum_i M_ij P_ij g_i / keep_prob — the dropped probabilities
-    dv_acc[...] += jnp.dot(p_T_eff, g.astype(jnp.float32),
+    # (input-dtype matmul, fp32 accumulate: see the dq kernel's note)
+    dv_acc[...] += jnp.dot(p_T_eff.astype(g.dtype), g,
                            preferred_element_type=jnp.float32)
 
     dp_T = jax.lax.dot_general(  # v @ g^T : [bk, bq]
@@ -178,7 +183,7 @@ def _flash_dkv_kernel(*refs, scale: float, n_q_tiles: int, block_q: int,
     delta_row = delta_ref[0, 0].reshape(1, -1)  # [1, bq]
     # dS uses the UNdropped P (softmax VJP) with the dropped dP
     ds_T = p_T * (dp_T - delta_row)
-    dk_acc[...] += jnp.dot(ds_T, q.astype(jnp.float32),
+    dk_acc[...] += jnp.dot(ds_T.astype(q.dtype), q,
                            preferred_element_type=jnp.float32)
 
     @pl.when(iq == n_q_tiles - 1)
@@ -254,22 +259,22 @@ def _flash_bwd_fused_kernel(*refs, scale: float, n_q_tiles: int,
     else:
         p_eff = p
 
-    g32 = g.astype(jnp.float32)
     # dv_j += P^T g : contract the shared q-rows axis -> [bk, D]
+    # (input-dtype matmuls, fp32 accumulate: see the dq kernel's note)
     dv_acc[...] += jax.lax.dot_general(
-        p_eff, g32, (((0,), (0,)), ((), ())),
+        p_eff.astype(g.dtype), g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0, 0])         # delta: [bq, 1]
+    ds = (p * (dp - delta_ref[0, 0])).astype(q.dtype)  # delta: [bq, 1]
     # dk_j += dS^T q
     dk_acc[...] += jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # dq_i += dS k, into the full-row scratch at this Q tile's offset
     row0 = iq * block_q
     dq_scr[pl.ds(row0, block_q), :] += jnp.dot(
-        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
+        ds, k, preferred_element_type=jnp.float32)
 
     @pl.when(iq == n_q_tiles - 1)
     def _store_kv():

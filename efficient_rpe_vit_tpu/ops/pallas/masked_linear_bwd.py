@@ -65,8 +65,11 @@ def _dq_kernel(gn_ref, s_ref, v_ref, k_ref, t_ref, dq_ref, acc_ref,
         gn, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     dA = (m - s_ref[0, 0]) * t_ref[0]  # s: [bq, 1] broadcasts over columns
+    # second-stage matmul at the input dtype (fp32 accumulate): no-op for
+    # fp32 inputs, double MXU rate for bf16
     acc_ref[...] += jnp.dot(
-        dA, k_ref[0, 0], preferred_element_type=jnp.float32
+        dA.astype(k_ref.dtype), k_ref[0, 0],
+        preferred_element_type=jnp.float32,
     )  # [bq, F]
 
     @pl.when(jk == n_kv_tiles - 1)
@@ -97,14 +100,16 @@ def _dkv_kernel(gn_ref, s_ref, v_ref, q_ref, k_ref, t_ref,
     )
     s_row = s_ref[0, 0].reshape(1, -1)  # [1, bq] broadcast over rows
     dA_T = (m_T - s_row) * t_T
-    dk_acc[...] += jnp.dot(dA_T, q, preferred_element_type=jnp.float32)
+    # input-dtype matmuls, fp32 accumulate (see _dq_kernel's note)
+    dk_acc[...] += jnp.dot(dA_T.astype(q.dtype), q,
+                           preferred_element_type=jnp.float32)
 
     # W^T = (k q^T) * T^T ; dv += W^T gn : [bk, D]
     A_T = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     dv_acc[...] += jnp.dot(
-        A_T * t_T, gn, preferred_element_type=jnp.float32
+        (A_T * t_T).astype(gn.dtype), gn, preferred_element_type=jnp.float32
     )
 
     @pl.when(iq == n_q_tiles - 1)
@@ -178,7 +183,11 @@ def masked_linear_bwd(q_prime, k_prime, v, T, den, out, g, *,
     Fp = _round_up(F, LANES)
     Dp = _round_up(D, LANES)
 
-    gn = g / (den[..., None] + EPS)
+    # gn at the cotangent dtype: den is fp32 so the quotient upcasts, and
+    # an fp32 gn would drag every gn-operand matmul in P1/P2/P3 down to
+    # fp32 MXU rate; s stays fp32 (a [B,H,N] elementwise operand, not a
+    # matmul input)
+    gn = (g / (den[..., None] + EPS)).astype(g.dtype)
     s = jnp.sum(g * out, axis=-1) / (den + EPS)  # [B, H, N]
 
     qp = _pad_axis(_pad_axis(q_prime, 2, Nq), 3, Fp)

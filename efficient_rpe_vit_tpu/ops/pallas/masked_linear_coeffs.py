@@ -157,8 +157,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, c_ref, o_ref, d_ref, acc_ref, den_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     wgt = s * t
+    # second-stage matmuls run at the INPUT dtype (fp32 accumulate): a
+    # no-op for fp32 inputs, double MXU rate for bf16; numerator and
+    # denominator divide out so the ~0.4% bf16 rounding stays relative
     acc_ref[...] += jnp.dot(
-        wgt, v_ref[0, 0].astype(jnp.float32),
+        wgt.astype(v_ref.dtype), v_ref[0, 0],
         preferred_element_type=jnp.float32,
     )
     den_ref[...] += jnp.sum(wgt, axis=1, keepdims=True)
@@ -239,8 +242,10 @@ def _dq_kernel(gn_ref, s_ref, v_ref, k_ref, c_ref, dq_ref, acc_ref,
         preferred_element_type=jnp.float32,
     )
     dA = (m - s_ref[0, 0]) * t
+    # input-dtype matmul, fp32 accumulate (see the forward kernel's note)
     acc_ref[...] += jnp.dot(
-        dA, k_ref[0, 0], preferred_element_type=jnp.float32
+        dA.astype(k_ref.dtype), k_ref[0, 0],
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(jk == n_kv_tiles - 1)
@@ -275,12 +280,15 @@ def _dkv_kernel(gn_ref, s_ref, v_ref, q_ref, k_ref, c_ref,
     )
     s_row = s_ref[0, 0].reshape(1, -1)
     dA_T = (m_T - s_row) * t_T
-    dk_acc[...] += jnp.dot(dA_T, q, preferred_element_type=jnp.float32)
+    # input-dtype matmuls, fp32 accumulate (see the forward kernel's note)
+    dk_acc[...] += jnp.dot(dA_T.astype(q.dtype), q,
+                           preferred_element_type=jnp.float32)
 
     A_T = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dv_acc[...] += jnp.dot(A_T * t_T, gn, preferred_element_type=jnp.float32)
+    dv_acc[...] += jnp.dot((A_T * t_T).astype(gn.dtype), gn,
+                           preferred_element_type=jnp.float32)
 
     @pl.when(iq == n_q_tiles - 1)
     def _store():
@@ -371,7 +379,9 @@ def _bwd_impl(q_prime, k_prime, v, coeffs, den, out, g, *,
     Dp = _round_up(D, LANES)
     W = block_q + block_kv
 
-    gn = g / (den[..., None] + EPS)
+    # gn at the cotangent dtype (fp32 gn would force every gn-operand
+    # matmul in P1/P2/P3 to fp32 MXU rate); s stays fp32 — elementwise only
+    gn = (g / (den[..., None] + EPS)).astype(g.dtype)
     s = jnp.sum(g * out, axis=-1) / (den + EPS)
 
     qp = _pad_axis(_pad_axis(q_prime, 2, Nq), 3, Fp)
@@ -467,6 +477,211 @@ def _bwd_impl(q_prime, k_prime, v, coeffs, den, out, g, *,
         dv[:, :, :N, :D],
         dcoeffs.astype(coeffs.dtype),
     )
+
+
+# ─── fused-phi forward (SURVEY §7 step 8(b) / VERDICT r4 #2) ─────────────
+#
+# phi computed IN-KERNEL from the raw [B,H,N,D] q/k tiles, so the
+# [B,H,N,Fp] q'/k' tensors never roundtrip HBM in the forward. The q-side
+# phi is computed once per (b, h, iq) into VMEM scratch (jk == 0) and
+# reused across the KV sweep; the k-side phi is recomputed per grid cell
+# (bk*D*F ≈ +9% of the cell's matmul flops, plus the exp transcendentals)
+# — the structural price of fusion, and the reason this path must win a
+# model-level A/B before becoming the dispatch default.
+
+def _phi_tile(x, omega, feature_kind: str, m_real: int, f_real: int,
+              n_valid=None, row0=None, block_rows: int = 0):
+    """phi of one [rows, Dp] tile against [Dp, Fp] omega, fp32.
+
+    Padded feature lanes (>= f_real) are masked to zero so they add
+    nothing to s = phi_q phi_k^T; padded/overhang KV rows (>= n_valid,
+    when given) are zeroed so they add nothing to acc/den — phi+ of an
+    all-zero row is exp(0)/sqrt(m) != 0, unlike the XLA-side path where
+    zero-padding happened AFTER phi."""
+    u = jnp.dot(x, omega.astype(x.dtype), preferred_element_type=jnp.float32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    lane_ok = lanes < f_real
+    if feature_kind == "relu":
+        phi = jnp.where(lane_ok, jnp.maximum(u, 0.0), 0.0)
+        phi = phi * (1.0 / (m_real ** 0.5))
+    else:  # favor_plus
+        u_m = jnp.where(lane_ok, u, -jnp.inf)
+        u_max = jnp.max(u_m, axis=1, keepdims=True)
+        x32 = x.astype(jnp.float32)
+        norm_half = jnp.sum(x32 * x32, axis=1, keepdims=True) * 0.5
+        phi = jnp.exp(u - u_max - norm_half) * (1.0 / (m_real ** 0.5))
+        phi = jnp.where(lane_ok, phi, 0.0)
+    if n_valid is not None:
+        rows = (jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + row0)
+        phi = jnp.where(rows < n_valid, phi, 0.0)
+    return phi
+
+
+def _fused_phi_fwd_kernel(q_ref, k_ref, v_ref, om_ref, c_ref, o_ref, d_ref,
+                          phiq_ref, acc_ref, den_ref, *, n_kv_tiles: int,
+                          block_q: int, block_kv: int, nq: int, n: int,
+                          feature_kind: str, m_real: int, f_real: int):
+    iq, jk = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(jk == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        den_ref[...] = jnp.zeros_like(den_ref)
+        # q-side phi once per (b, h, iq); padded q rows yield garbage
+        # sliced away by the caller, so no row mask needed
+        phiq_ref[...] = _phi_tile(q_ref[0, 0], om_ref[0], feature_kind,
+                                  m_real, f_real)
+
+    base = pl.multiple_of(
+        jk * block_kv - iq * block_q + nq - block_q, LANES)
+    w = c_ref[0, :, pl.ds(base, block_q + block_kv)]  # [1, W]
+    t = _toeplitz_tile(w, block_q, block_kv)  # [bq, bkv]
+
+    phik = _phi_tile(k_ref[0, 0], om_ref[0], feature_kind, m_real, f_real,
+                     n_valid=n, row0=jk * block_kv)
+    # s at the input dtype (full MXU rate), fp32 accumulate — matches the
+    # XLA-phi path where the model's q'/k' are cast to the compute dtype
+    dt = q_ref.dtype
+    s = jax.lax.dot_general(
+        phiq_ref[...].astype(dt), phik.astype(dt),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    wgt = s * t
+    acc_ref[...] += jnp.dot(
+        wgt.astype(v_ref.dtype), v_ref[0, 0],
+        preferred_element_type=jnp.float32,
+    )
+    den_ref[...] += jnp.sum(wgt, axis=1, keepdims=True)
+
+    @pl.when(jk == n_kv_tiles - 1)
+    def _store():
+        o_ref[0, 0] = (acc_ref[...] / (den_ref[...] + EPS)).astype(o_ref.dtype)
+        d_ref[0, 0] = den_ref[...]
+
+
+def _fused_phi_fwd_impl(q, k, v, omega, coeffs, *, feature_kind: str,
+                        block_q, block_kv, interpret):
+    B, H, N, D = q.shape
+    F = omega.shape[-1]
+    Dv = v.shape[-1]
+    if block_q is None or block_kv is None:
+        dq_, dkv_ = coeffs_default_blocks(N)
+        block_q = block_q or dq_
+        block_kv = block_kv or dkv_
+    Nq = _round_up(N, block_q)
+    Nkv = _round_up(N, block_kv)
+    Dp = _round_up(D, LANES)
+    Fp = _round_up(F, LANES)
+    Dvp = _round_up(Dv, LANES)
+
+    qp = _pad_axis(_pad_axis(q, 2, Nq), 3, Dp)
+    kp = _pad_axis(_pad_axis(k, 2, Nkv), 3, Dp)
+    vp = _pad_axis(_pad_axis(v, 2, Nkv), 3, Dvp)
+    omp = _pad_axis(_pad_axis(omega.astype(jnp.float32), 1, Dp), 2, Fp)
+    cbuf = _coeff_buffer(coeffs.astype(jnp.float32), N, Nq, Nkv)
+
+    n_q = Nq // block_q
+    n_kv = Nkv // block_kv
+    out, den = pl.pallas_call(
+        functools.partial(
+            _fused_phi_fwd_kernel, n_kv_tiles=n_kv, block_q=block_q,
+            block_kv=block_kv, nq=Nq, n=N, feature_kind=feature_kind,
+            m_real=F, f_real=F,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Nq, Dvp), v.dtype),
+            jax.ShapeDtypeStruct((B, H, Nq, 1), jnp.float32),
+        ),
+        grid=(B, H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dp), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dvp), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, Dp, Fp), lambda b, h, i, j: (h, 0, 0)),
+            pl.BlockSpec((1, 1, cbuf.shape[2]),
+                         lambda b, h, i, j: (h, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, Dvp), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, Fp), jnp.float32),
+            pltpu.VMEM((block_q, Dvp), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ] if _HAVE_PLTPU else [],
+        compiler_params=_dims(interpret),
+        interpret=interpret,
+    )(qp, kp, vp, omp, cbuf)
+    return out[:, :, :N, :Dv], den[:, :, :N, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def kerple_attention_fused_phi(q, k, v, omega, coeffs,
+                               feature_kind: str = "favor_plus",
+                               block_q=None, block_kv=None,
+                               interpret: bool = False):
+    """KERPLE attention with the feature map fused into the forward kernel:
+
+        out_i = sum_j c[j-i+N-1] (phi(q_i).phi(k_j)) v_j / (den_i + eps)
+
+    computed from the RAW (already scaled/normalised) q/k — phi never
+    materialises in HBM on the forward pass (SURVEY §7 step 8(b)).
+
+    The backward recomputes phi(q)/phi(k) once in XLA and runs the
+    production P1/P2/P3 coeffs kernels, then pulls dq'/dk' back through
+    phi's VJP — identical gradient math to the unfused path.
+
+    Args:
+        q, k: [B, H, N, D] post L2-normalisation (KERPLE contract).
+        v: [B, H, N, Dv].
+        omega: [H, D, F] random feature matrix.
+        coeffs: [H, 2N-1] positive Toeplitz coefficients.
+        feature_kind: 'favor_plus' | 'relu'.
+    Returns:
+        [B, H, N, Dv].
+    """
+    out, _ = _fused_phi_fwd_impl(q, k, v, omega, coeffs,
+                                 feature_kind=feature_kind,
+                                 block_q=block_q, block_kv=block_kv,
+                                 interpret=interpret)
+    return out
+
+
+def _phi_xla(x, omega, feature_kind: str):
+    from ..feature_maps import phi_positive, phi_relu
+
+    return (phi_relu if feature_kind == "relu" else phi_positive)(x, omega)
+
+
+def _kafp_fwd(q, k, v, omega, coeffs, feature_kind, block_q, block_kv,
+              interpret):
+    out, den = _fused_phi_fwd_impl(q, k, v, omega, coeffs,
+                                   feature_kind=feature_kind,
+                                   block_q=block_q, block_kv=block_kv,
+                                   interpret=interpret)
+    return out, (q, k, v, omega, coeffs, den, out)
+
+
+def _kafp_bwd(feature_kind, block_q, block_kv, interpret, residuals, g):
+    q, k, v, omega, coeffs, den, out = residuals
+    q_prime, vjp_q = jax.vjp(lambda x: _phi_xla(x, omega, feature_kind), q)
+    k_prime, vjp_k = jax.vjp(lambda x: _phi_xla(x, omega, feature_kind), k)
+    dqp, dkp, dv, dcoeffs = _bwd_impl(
+        q_prime, k_prime, v, coeffs, den, out, g,
+        block_q=block_q, block_kv=block_kv, interpret=interpret)
+    (dq,) = vjp_q(dqp.astype(q_prime.dtype))
+    (dk,) = vjp_k(dkp.astype(k_prime.dtype))
+    # omega is a non-trainable buffer in the model ('constants'), but the
+    # VJP must still be complete: d(x@omega) flows to omega too
+    _, vjp_om_q = jax.vjp(lambda om: _phi_xla(q, om, feature_kind), omega)
+    _, vjp_om_k = jax.vjp(lambda om: _phi_xla(k, om, feature_kind), omega)
+    dom = vjp_om_q(dqp.astype(q_prime.dtype))[0] + \
+        vjp_om_k(dkp.astype(k_prime.dtype))[0]
+    return dq, dk, dv, dom, dcoeffs
+
+
+kerple_attention_fused_phi.defvjp(_kafp_fwd, _kafp_bwd)
 
 
 # ─── public op ───────────────────────────────────────────────────────────

@@ -35,28 +35,67 @@ def rope_tables(num_positions: int, head_dim: int, theta: float = 10000.0):
     return np.cos(angles), np.sin(angles)
 
 
+def _rope_full_tables(cos, sin, N: int):
+    """Expand half-width tables to full-width single-pass form: (cos_full,
+    sin_full) each [N, D], every table lane repeated twice. With them the
+    interleaved rotation is  r = x * cos_full + (x @ J) * sin_full  where
+    J is the constant rotate-90° pairing matrix (see `_rope_pair_matrix`)."""
+    rep = np.repeat if isinstance(cos, np.ndarray) else (
+        lambda a, r, axis: jnp.repeat(a, r, axis=axis))
+    return rep(cos[:N], 2, axis=-1), rep(sin[:N], 2, axis=-1)
+
+
+def _rope_pair_matrix(D: int) -> np.ndarray:
+    """Constant [D, D] pairing matrix J with (x @ J)[2i] = -x[2i+1] and
+    (x @ J)[2i+1] = x[2i] — the 90°-rotated partner each interleaved RoPE
+    lane pairs with its sin term.
+
+    Why a MATMUL: the natural pairswap formulations (strided even/odd
+    slices + stack, or reshape[..., D//2, 2] + reverse) all change the
+    TPU's minor-most (lane) layout, which XLA lowers as full relayout
+    copies — measured ~27x HBM speed-of-light at ViT-B N=4097 (~40 ms of a
+    267 ms step). As a matmul the pairing is one MXU pass (2*B*H*N*D^2
+    FLOPs ≈ 26 GFLOP at that shape, ~0.1 ms) whose elementwise epilogue
+    fuses, and its entries are ±1 so it is exact in any dtype."""
+    J = np.zeros((D, D), np.float32)
+    idx = np.arange(0, D, 2)
+    J[idx + 1, idx] = -1.0
+    J[idx, idx + 1] = 1.0
+    return J
+
+
 def apply_rope(q, k, cos, sin):
     """Rotate interleaved even/odd lane pairs of q and k.
 
     [x_even, x_odd] -> [x_even*cos - x_odd*sin, x_even*sin + x_odd*cos]
-    (reference: rope.py:109-137).
+    (reference: rope.py:109-137), computed as x*cos_full + (x@J)*sin_full
+    — one MXU pairing pass + one fused elementwise pass (see
+    `_rope_pair_matrix` for why not a lane shuffle).
+
+    Math runs in float32 and the result is cast BACK to the input dtype:
+    under bf16 compute the old upcast-and-keep-fp32 behaviour silently ran
+    every downstream matmul (flash QK^T, the phi feature projections) at
+    half MXU rate — the round-4 long-N rope regression.
 
     Args:
         q, k: [B, H, N, D].
         cos, sin: [N', D//2] with N' >= N (sliced to N).
     Returns:
-        (q_rot, k_rot) same shapes/dtypes as inputs.
+        (q_rot, k_rot) same shapes AND dtypes as inputs.
     """
-    B, H, N, D = q.shape
-    cos = jnp.asarray(cos)[:N][None, None]  # [1, 1, N, D//2]
-    sin = jnp.asarray(sin)[:N][None, None]
+    N, D = q.shape[2], q.shape[3]
+    cos_full, sin_full = _rope_full_tables(cos, sin, N)
+    cos_full = jnp.asarray(cos_full, jnp.float32)[None, None]
+    sin_full = jnp.asarray(sin_full, jnp.float32)[None, None]
+    J = jnp.asarray(_rope_pair_matrix(D))
 
     def rot(x):
-        x_even = x[..., 0::2]
-        x_odd = x[..., 1::2]
-        r_even = x_even * cos - x_odd * sin
-        r_odd = x_even * sin + x_odd * cos
-        return jnp.stack([r_even, r_odd], axis=-1).reshape(B, H, N, D)
+        # x @ J is exact (one ±1 term per output lane) even at bf16, so
+        # the pairing matmul runs at the input dtype / full MXU rate
+        paired = jnp.dot(x, J.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        return (x.astype(jnp.float32) * cos_full
+                + paired * sin_full).astype(x.dtype)
 
     return rot(q), rot(k)
 
@@ -92,16 +131,23 @@ def rope_2d_tables(num_patch_tokens: int, head_dim: int,
 def apply_rope_2d(q, k, cos, sin):
     """Axial 2D rotary embedding; CLS (token 0) passes through unrotated.
 
+    Implemented by prepending an identity row (cos=1, sin=0) to the patch
+    tables and rotating ALL N tokens in one pass — x*1 + pairswap(x)*0 is
+    exactly x, so CLS is bit-identical to the slice-and-concat form without
+    paying two full-tensor concat copies per q/k.
+
     Args:
         q, k: [B, H, N, D] with CLS at index 0.
         cos, sin: [N-1, D//2] patch-token tables from rope_2d_tables.
     """
     if q.shape[2] <= 1:
         return q, k
-    q_rot, k_rot = apply_rope(q[:, :, 1:], k[:, :, 1:], cos, sin)
-    q = jnp.concatenate([q[:, :, :1], q_rot], axis=2)
-    k = jnp.concatenate([k[:, :, :1], k_rot], axis=2)
-    return q, k
+    n_patch = q.shape[2] - 1
+    cos = np.asarray(cos)[:n_patch]
+    sin = np.asarray(sin)[:n_patch]
+    cos_all = np.concatenate([np.ones((1, cos.shape[1]), cos.dtype), cos])
+    sin_all = np.concatenate([np.zeros((1, sin.shape[1]), sin.dtype), sin])
+    return apply_rope(q, k, cos_all, sin_all)
 
 
 # ----------------------------------------------------- Circulant-STRING ---
@@ -152,15 +198,56 @@ def circulant_eigenvalues(coeffs):
     return lam - jnp.conj(lam)
 
 
+def _circulant_theta(positions, coeffs, block: int):
+    """Rotation angles theta[h, n, k] = 2 * sum_c pos[n,c] * Im(FFT(c_h,c))_k
+    at the rfft frequencies k = 0..block//2 of a length-`block` circulant.
+
+    Im(FFT(c))_k = -sum_d c_d sin(2*pi*k*d/block) — a tiny real DFT matmul.
+    """
+    pos = jnp.asarray(positions, dtype=jnp.float32)
+    k = np.arange(block // 2 + 1, dtype=np.float32)
+    d = np.arange(block, dtype=np.float32)
+    sin_dft = jnp.asarray(
+        -np.sin(2 * np.pi * k[:, None] * d[None, :] / block)
+    )
+    im_fft = jnp.einsum("...d,kd->...k", coeffs.astype(jnp.float32), sin_dft)
+    # coeffs [H, C, ..., D] -> im_fft [H, C, ..., K]; contract the coord dim
+    return 2.0 * jnp.einsum("nc,hc...k->hn...k", pos, im_fft)
+
+
+def _rdft_matrices(D: int):
+    """Real-arithmetic rfft/irfft as DFT matmuls (static fp32 constants).
+
+    jnp.fft at size 64 lowers to a generic TPU FFT that runs far below HBM
+    speed-of-light; as matmuls the transform is a [*, D] @ [D, D//2+1]
+    contraction the MXU eats for free. Forward: x_re = x @ C_f,
+    x_im = -(x @ S_f). Inverse: y = y_re @ C_b - y_im @ S_b (the weight
+    w_k in C_b/S_b folds the Hermitian-half doubling and the 1/D scale).
+    """
+    k = np.arange(D // 2 + 1, dtype=np.float32)
+    d = np.arange(D, dtype=np.float32)
+    ang = 2 * np.pi * k[:, None] * d[None, :] / D  # [K, D]
+    w = np.full(D // 2 + 1, 2.0, np.float32)
+    w[0] = 1.0
+    if D % 2 == 0:
+        w[-1] = 1.0
+    C_f = jnp.asarray(np.cos(ang).T)           # [D, K]
+    S_f = jnp.asarray(np.sin(ang).T)           # [D, K]
+    C_b = jnp.asarray(np.cos(ang) * w[:, None] / D)  # [K, D]
+    S_b = jnp.asarray(np.sin(ang) * w[:, None] / D)  # [K, D]
+    return C_f, S_f, C_b, S_b
+
+
 def apply_circulant_rotation(x, positions, coeffs):
-    """x' = exp(sum_k r_k L_k) @ x via real FFT along head_dim.
+    """x' = exp(sum_k r_k L_k) @ x via the real half-spectrum along head_dim.
 
     TPU note: because L is real skew-symmetric, exp(mu) has Hermitian
     symmetry in frequency, so the whole rotation lives in the rfft
-    half-spectrum — half the FFT work of the reference's complex path
-    (circulant_string.py:276-295) and no complex64 cast of x. The angle
-    theta = 2*Im(FFT(c)) at the rfft frequencies is computed directly from
-    a real DFT matmul (D is tiny, this is one small MXU op).
+    half-spectrum — half the work of the reference's complex path
+    (circulant_string.py:276-295) and no complex64 cast of x. Both the
+    transform and the angle table are real DFT *matmuls* (D is tiny; MXU
+    ops), not jnp.fft calls — the generic TPU FFT at size 64 was the
+    dominant cost of the round-4 long-N circulant regression.
 
     Args:
         x: [B, H, N, D] (patch tokens only — CLS excluded by the caller).
@@ -170,18 +257,15 @@ def apply_circulant_rotation(x, positions, coeffs):
         [B, H, N, D] rotated, same dtype as x.
     """
     D = x.shape[-1]
-    pos = jnp.asarray(positions, dtype=jnp.float32)
-    # Im(FFT(c))_k = -sum_d c_d sin(2*pi*k*d/D), at rfft freqs k=0..D//2
-    k = np.arange(D // 2 + 1, dtype=np.float32)
-    d = np.arange(D, dtype=np.float32)
-    sin_dft = jnp.asarray(-np.sin(2 * np.pi * k[:, None] * d[None, :] / D))
-    im_fft = jnp.einsum("hcd,kd->hck", coeffs.astype(jnp.float32), sin_dft)
-    # theta[h, n, k] = 2 * sum_c pos[n, c] * Im(FFT(c_h,c))_k
-    theta = 2.0 * jnp.einsum("nc,hck->hnk", pos, im_fft)  # [H, N, D//2+1]
-    rot = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
-    x_freq = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)
-    x_rot = jnp.fft.irfft(rot[None] * x_freq, n=D, axis=-1)
-    return x_rot.astype(x.dtype)
+    theta = _circulant_theta(positions, coeffs, D)  # [H, N, K]
+    ct, st = jnp.cos(theta)[None], jnp.sin(theta)[None]
+    C_f, S_f, C_b, S_b = _rdft_matrices(D)
+    x32 = x.astype(jnp.float32)
+    x_re = x32 @ C_f
+    x_im = -(x32 @ S_f)
+    y_re = ct * x_re - st * x_im
+    y_im = st * x_re + ct * x_im
+    return (y_re @ C_b - y_im @ S_b).astype(x.dtype)
 
 
 def apply_block_circulant_rotation(x, positions, coeffs):
@@ -208,18 +292,31 @@ def apply_block_circulant_rotation(x, positions, coeffs):
         raise ValueError(
             f"num_blocks*block_size = {nb}*{bs} != head_dim {D}"
         )
-    pos = jnp.asarray(positions, dtype=jnp.float32)
-    k = np.arange(bs // 2 + 1, dtype=np.float32)
-    d = np.arange(bs, dtype=np.float32)
-    sin_dft = jnp.asarray(-np.sin(2 * np.pi * k[:, None] * d[None, :] / bs))
-    # Im(FFT(c_block))_k per (head, coord, block)
-    im_fft = jnp.einsum("hcgd,kd->hcgk", coeffs.astype(jnp.float32), sin_dft)
-    theta = 2.0 * jnp.einsum("nc,hcgk->hngk", pos, im_fft)  # [H,N,nb,k]
-    rot = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    theta = _circulant_theta(positions, coeffs, bs)  # [H, N, nb, K]
+    ct, st = jnp.cos(theta)[None], jnp.sin(theta)[None]
+    C_f, S_f, C_b, S_b = _rdft_matrices(bs)
     xb = x.astype(jnp.float32).reshape(B, H, N, nb, bs)
-    x_freq = jnp.fft.rfft(xb, axis=-1)
-    x_rot = jnp.fft.irfft(rot[None] * x_freq, n=bs, axis=-1)
-    return x_rot.reshape(B, H, N, D).astype(x.dtype)
+    x_re = xb @ C_f
+    x_im = -(xb @ S_f)
+    y_re = ct * x_re - st * x_im
+    y_im = st * x_re + ct * x_im
+    y = y_re @ C_b - y_im @ S_b
+    return y.reshape(B, H, N, D).astype(x.dtype)
+
+
+def _rotate_keep_cls(rotate_fn, x, positions, coeffs):
+    """Rotate ALL N tokens with a zero position row prepended for CLS, then
+    select the original CLS row back in. The zero position makes row 0's
+    rotation the identity mathematically; the select makes it bit-exact
+    (the fp32 DFT roundtrip is ~1e-7, the reference demands untouched CLS,
+    circulant_string.py:321-341). Both the pad and the select fuse into
+    the rotation's elementwise epilogue — no full-tensor slice+concat
+    copies, which cost two extra HBM passes per q/k at long N."""
+    pos = np.asarray(positions, dtype=np.float32)
+    pos_all = np.concatenate([np.zeros((1, pos.shape[1]), np.float32), pos])
+    x_rot = rotate_fn(x, pos_all, coeffs)
+    is_cls = (jnp.arange(x.shape[2]) == 0)[None, None, :, None]
+    return jnp.where(is_cls, x, x_rot)
 
 
 def apply_circulant_string(q, k, positions, coeffs):
@@ -227,12 +324,6 @@ def apply_circulant_string(q, k, positions, coeffs):
     (reference: circulant_string.py:297-341)."""
     if q.shape[2] <= 1:
         return q, k
-    q_rot = jnp.concatenate(
-        [q[:, :, :1], apply_circulant_rotation(q[:, :, 1:], positions, coeffs)],
-        axis=2,
-    )
-    k_rot = jnp.concatenate(
-        [k[:, :, :1], apply_circulant_rotation(k[:, :, 1:], positions, coeffs)],
-        axis=2,
-    )
+    q_rot = _rotate_keep_cls(apply_circulant_rotation, q, positions, coeffs)
+    k_rot = _rotate_keep_cls(apply_circulant_rotation, k, positions, coeffs)
     return q_rot, k_rot

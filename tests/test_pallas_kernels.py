@@ -719,3 +719,109 @@ def test_coeffs_kernel_gradients_unequal_blocks(kerple_inputs, rng):
     for a, b in zip(gp, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+# ─── fused-phi forward (round 5: SURVEY §7 step 8(b) / VERDICT r4 #2) ───
+
+@pytest.fixture
+def fused_phi_inputs(rng):
+    B, H, N, D, F = 2, 2, 197, 16, 44
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    q = jax.random.normal(k1, (B, H, N, D))
+    k = jax.random.normal(k2, (B, H, N, D))
+    # KERPLE contract: q/k are L2-normalised before phi
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    k = k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+    v = jax.random.normal(k3, (B, H, N, D))
+    from efficient_rpe_vit_tpu.ops.feature_maps import (
+        orthogonal_gaussian_features,
+    )
+    omega = orthogonal_gaussian_features(k4, H, D, F)
+    coeffs = jnp.exp(jax.random.normal(k5, (H, 2 * N - 1)) * 0.02)
+    return q, k, v, omega, coeffs
+
+
+@pytest.mark.parametrize("kind", ["favor_plus", "relu"])
+def test_fused_phi_forward_matches_unfused(fused_phi_inputs, kind):
+    """In-kernel phi (q-side cached in scratch, k-side per cell, padded
+    feature lanes AND padded/overhang KV rows masked in-register) == the
+    XLA phi + coeffs-kernel composition."""
+    from efficient_rpe_vit_tpu.ops.feature_maps import (
+        phi_positive, phi_relu,
+    )
+    from efficient_rpe_vit_tpu.ops.pallas import (
+        kerple_attention_fused_phi, masked_linear_attention_coeffs,
+    )
+
+    q, k, v, omega, coeffs = fused_phi_inputs
+    phi = phi_relu if kind == "relu" else phi_positive
+    want = masked_linear_attention_coeffs(
+        phi(q, omega), phi(k, omega), v, coeffs, 128, 128, True)
+    got = kerple_attention_fused_phi(q, k, v, omega, coeffs, kind,
+                                     128, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("kind", ["favor_plus", "relu"])
+def test_fused_phi_gradients_match_unfused(fused_phi_inputs, kind):
+    """The fused op's VJP (XLA phi recompute -> P1/P2/P3 kernels -> phi
+    VJP pullback) == autodiff through the unfused composition, for
+    q, k, v, omega AND coeffs."""
+    from efficient_rpe_vit_tpu.ops.feature_maps import (
+        phi_positive, phi_relu,
+    )
+    from efficient_rpe_vit_tpu.ops.pallas import (
+        kerple_attention_fused_phi, masked_linear_attention_coeffs,
+    )
+
+    q, k, v, omega, coeffs = fused_phi_inputs
+    phi = phi_relu if kind == "relu" else phi_positive
+    g = jax.random.normal(jax.random.PRNGKey(5), v.shape)
+
+    gf = jax.grad(lambda *a: jnp.vdot(
+        kerple_attention_fused_phi(*a, kind, 128, 128, True), g),
+        argnums=(0, 1, 2, 3, 4))(q, k, v, omega, coeffs)
+    gu = jax.grad(lambda q, k, v, om, c: jnp.vdot(
+        masked_linear_attention_coeffs(
+            phi(q, om), phi(k, om), v, c, 128, 128, True), g),
+        argnums=(0, 1, 2, 3, 4))(q, k, v, omega, coeffs)
+    for name, a, b in zip(["dq", "dk", "dv", "domega", "dcoeffs"], gf, gu):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-4,
+            err_msg=name)
+
+
+def test_fused_phi_unequal_blocks(fused_phi_inputs):
+    from efficient_rpe_vit_tpu.ops.feature_maps import phi_positive
+    from efficient_rpe_vit_tpu.ops.pallas import (
+        kerple_attention_fused_phi, masked_linear_attention_coeffs,
+    )
+
+    q, k, v, omega, coeffs = fused_phi_inputs
+    want = masked_linear_attention_coeffs(
+        phi_positive(q, omega), phi_positive(k, omega), v, coeffs,
+        128, 256, True)
+    got = kerple_attention_fused_phi(q, k, v, omega, coeffs, "favor_plus",
+                                     128, 256, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_fused_phi_model_matches_unfused(rng):
+    """Model-level: attention_config={'fused_phi': True} computes the same
+    logits as the standard XLA-phi + kerple path (same params/rng)."""
+    from efficient_rpe_vit_tpu.configs import mnist_config
+    from efficient_rpe_vit_tpu.models import create_model
+
+    cfg = mnist_config(dropout=0.0)
+    m_ref = create_model("performer_favor_most_general", cfg)
+    m_fused = create_model("performer_favor_most_general", cfg,
+                           attention_config={"fused_phi": True})
+    x = jax.random.normal(rng, (2, 28, 28, 1))
+    v_ref = m_ref.init({"params": jax.random.PRNGKey(0)}, x,
+                       deterministic=True)
+    out_ref = m_ref.apply(v_ref, x, deterministic=True)
+    out_fused = m_fused.apply(v_ref, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=2e-3, atol=2e-3)

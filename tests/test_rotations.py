@@ -103,10 +103,14 @@ def test_cls_unchanged_patches_changed(circ_setup):
 
 
 def test_position_origin_identity(circ_setup):
-    """Patch at grid position (0, 0) gets mu = 0 -> identity rotation."""
+    """Patch at grid position (0, 0) gets mu = 0 -> identity rotation.
+
+    Identity up to the real-DFT matmul roundtrip error (~D*eps*|x| ≈ 1e-5
+    at D=64 in fp32 — the rotation is two [*,D]@[D,K] contractions each
+    way, not an exact passthrough)."""
     coeffs, x, positions = circ_setup
     q_r, _ = apply_circulant_string(x, x, positions, coeffs)
-    np.testing.assert_allclose(q_r[:, :, 1], x[:, :, 1], atol=1e-5)
+    np.testing.assert_allclose(q_r[:, :, 1], x[:, :, 1], atol=5e-5)
 
 
 def test_norm_preservation(circ_setup):
