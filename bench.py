@@ -243,11 +243,17 @@ def bench_headline(jax, jnp, fallback):
                 flops * fused_k * timed_calls / elapsed / PEAK_FLOPS_BF16, 5)
 
 
-def bench_vitb_kerple(jax, jnp):
+def bench_vitb_kerple(jax, jnp, num_features=None, tag=""):
     """Compute-bound row (VERDICT r3 #1): ViT-Base KERPLE train step —
     dim 768, depth 12, 12 heads, N=197, bf16, batch 64. Its MFU is the
     round's judgeable efficiency figure; the dim-32 headline config is
-    dispatch-bound by construction (~3% MFU at 40k img/s)."""
+    dispatch-bound by construction (~3% MFU at 40k img/s).
+
+    Called twice (VERDICT r4 #5): once at the reference-parity default
+    F=266 (floor(d ln d)) and once at num_features='mxu' (F=256,
+    lane-aligned — identical matmul cost, zero padding waste), so both
+    the parity number and the configuration ceiling are in every round's
+    BENCH record."""
     from efficient_rpe_vit_tpu.configs import mnist_config
     from efficient_rpe_vit_tpu.models import create_model
     from efficient_rpe_vit_tpu.train import create_train_state, make_train_step
@@ -256,7 +262,9 @@ def bench_vitb_kerple(jax, jnp):
     cfg = mnist_config(image_size=28, patch_size=2, batch_size=batch,
                        dim=768, depth=12, heads=12, mlp_dim=3072,
                        dropout=0.0, compute_dtype="bfloat16")
-    model = create_model("performer_favor_most_general", cfg)
+    attn_cfg = {"num_features": num_features} if num_features else None
+    model = create_model("performer_favor_most_general", cfg,
+                         attention_config=attn_cfg)
     rng = jax.random.PRNGKey(0)
     m = cfg.model
     sample = jnp.zeros((2, m.image_size, m.image_size, m.in_channels))
@@ -290,16 +298,19 @@ def bench_vitb_kerple(jax, jnp):
     elapsed = time.perf_counter() - t0
 
     row = {
-        "metric": "vitb_kerple_train_seq197_bs64_bf16",
+        "metric": f"vitb_kerple_train_seq197_bs64_bf16{tag}",
         "images_per_sec": round(batch * steps / elapsed, 1),
         "step_ms": round(elapsed / steps * 1e3, 2),
     }
+    if num_features:
+        row["num_features"] = num_features
+    key_name = f"vitb_kerple{tag}"
     if flops is not None:
         row["flops_per_step"] = flops
         row["mfu"] = round(flops * steps / elapsed / PEAK_FLOPS_BF16, 5)
-        RESULT["vitb_kerple_mfu"] = row["mfu"]
-    RESULT["vitb_kerple"] = row
-    log(f"vitb: {row['images_per_sec']} img/s, "
+        RESULT[f"{key_name}_mfu"] = row["mfu"]
+    RESULT[key_name] = row
+    log(f"vitb{tag}: {row['images_per_sec']} img/s, "
         f"MFU {row.get('mfu', 'n/a')}")
 
 
@@ -331,6 +342,14 @@ def main():
         except Exception as e:
             log(f"vitb FAILED: {type(e).__name__}: {str(e)[:300]}")
             RESULT["vitb_kerple"] = {
+                "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        try:
+            signal.alarm(max(60, WATCHDOG_FULL_S - int(time.monotonic()
+                                                       - START_MONO)))
+            bench_vitb_kerple(jax, jnp, num_features="mxu", tag="_mxu")
+        except Exception as e:
+            log(f"vitb_mxu FAILED: {type(e).__name__}: {str(e)[:300]}")
+            RESULT["vitb_kerple_mxu"] = {
                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
     else:
         # MFU vs the TPU peak is meaningless on CPU

@@ -295,20 +295,25 @@ def masked_linear_vjp_residual(q_prime, k_prime, v, T, den, out, g):
     bench shape (experiments/pallas_ab.py; docs/BENCHMARKING.md). Shared by
     the dense custom_vjp below and the Pallas kernel's 'jnp_residual' mode.
     """
-    gn = (g / (den[..., None] + EPS)).astype(jnp.float32)
+    # every matmul operand rides the INPUT dtype (fp32 accumulate via
+    # preferred_element_type): a no-op under fp32 compute; under bf16 the
+    # old fp32 gn/dA operands silently ran all five backward einsums at
+    # half MXU rate — at ViT-B N=197 (the compute-bound bench row) this
+    # backward is the step's largest matmul block
+    gn = (g / (den[..., None] + EPS)).astype(g.dtype)
     s = jnp.sum(g * out, axis=-1) / (den + EPS)  # [B,H,N]
     A = jnp.einsum("bhif,bhjf->bhij", q_prime, k_prime,
                    preferred_element_type=jnp.float32)
-    M = jnp.einsum("bhid,bhjd->bhij", gn, v.astype(jnp.float32),
+    M = jnp.einsum("bhid,bhjd->bhij", gn, v,
                    preferred_element_type=jnp.float32)
     dW = M - s[..., None]
-    dA = dW * T[None]
-    dT = jnp.sum(dW * A, axis=0)  # [H,N,N]
+    dA = (dW * T[None]).astype(q_prime.dtype)
+    dT = jnp.sum(dW * A, axis=0)  # [H,N,N]  (elementwise, stays fp32)
     dq = jnp.einsum("bhij,bhjf->bhif", dA, k_prime,
                     preferred_element_type=jnp.float32).astype(q_prime.dtype)
     dk = jnp.einsum("bhij,bhif->bhjf", dA, q_prime,
                     preferred_element_type=jnp.float32).astype(k_prime.dtype)
-    dv = jnp.einsum("bhij,bhid->bhjd", A * T[None], gn,
+    dv = jnp.einsum("bhij,bhid->bhjd", (A * T[None]).astype(gn.dtype), gn,
                     preferred_element_type=jnp.float32).astype(v.dtype)
     return dq, dk, dv, dT.astype(T.dtype)
 

@@ -178,6 +178,7 @@ def test_flash_long_sequence_multi_tile(rng):
 
 
 @pytest.mark.parametrize("bq,bkv", [(192, 128), (128, 192)])
+@pytest.mark.slow
 def test_flash_unequal_block_sizes(rng, bq, bkv):
     """Unequal block sizes must not truncate tiling (review finding: padding
     to max(block_q, block_kv) skipped part of the sequence when the smaller
@@ -247,6 +248,7 @@ def test_masked_linear_bwd_auto_mode():
     assert _masked_linear_bwd_wants_pallas(4, 12, 4097)      # ViT-B long-N
 
 
+@pytest.mark.slow
 def test_kerple_pallas_coeffs_level_vjp(kerple_inputs, rng):
     """The long-N route (round 4: coeffs-native kernels — Toeplitz tiles
     built in-kernel, dcoeffs diagonal reduction folded into the backward,

@@ -160,6 +160,7 @@ def test_seq_parallel_linear_attention_exact(rng):
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_kerple_attention_exact(rng):
     """Ring KERPLE over 8 shards == single-device dense oracle."""
     from efficient_rpe_vit_tpu.ops import kerple_linear_attention
@@ -181,6 +182,7 @@ def test_ring_kerple_attention_exact(rng):
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_softmax_attention_exact(rng):
     """Ring softmax over 8 shards == single-device softmax attention (the
     online-softmax correction across devices is exact)."""
@@ -200,6 +202,7 @@ def test_ring_softmax_attention_exact(rng):
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_seq_parallel_ops_differentiable(rng):
     """Gradients flow through psum/ppermute shard_map bodies (needed if a
     training step ever runs context-parallel)."""
@@ -347,6 +350,7 @@ def test_context_parallel_model_matches_single_device(rng, variant):
         )
 
 
+@pytest.mark.slow
 def test_context_parallel_train_step(rng):
     """Hybrid DP x CP: batch sharded over 'data', sequence sharded over
     'seq' inside the attention core, one full jitted train step."""
@@ -365,6 +369,7 @@ def test_context_parallel_train_step(rng):
     assert jnp.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_seq_parallel_ops_pad_arbitrary_length(rng):
     """Seq-parallel wrappers accept N not divisible by the axis size."""
     from efficient_rpe_vit_tpu.ops.attention_core import (
@@ -401,6 +406,7 @@ def test_seq_parallel_ops_pad_arbitrary_length(rng):
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_three_axis_dp_tp_cp_train_step(rng):
     """DP x TP x CP on one 2x2x2 mesh: batch over 'data', Megatron kernel
     splits over 'model', sequence over 'seq' inside the attention core —

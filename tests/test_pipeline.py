@@ -122,6 +122,7 @@ def test_pipeline_dp_composition_matches_and_shards(rng):
     )
 
 
+@pytest.mark.slow
 def test_pipeline_dp_train_step(rng):
     """DP x PP training: batch sharded over 'data' inside the GPipe step,
     loss falls, params update (stage grads all-reduce over 'data')."""
@@ -262,6 +263,7 @@ def test_pipeline_rejects_bad_shapes(rng):
         pipeline_vit_forward(model, variables, x, mesh)
 
 
+@pytest.mark.slow
 def test_pipeline_train_step(rng):
     """Full pipeline-parallel training: loss falls over a few steps and
     parameters actually update (dropout active, per-block rngs)."""
@@ -293,6 +295,7 @@ def test_pipeline_train_step(rng):
     assert float(jnp.abs(p1 - p0).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_pipeline_grad_accum_matches_single_step(rng):
     """grad-accum x PP (round 4): accumulating A=2 microbatch-chunk
     gradients through the GPipe schedule == one full-batch pipeline step

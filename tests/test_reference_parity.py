@@ -118,6 +118,7 @@ def test_logit_parity(variant, atol, dataset):
     _check_logit_parity(variant, atol, dataset)
 
 
+@pytest.mark.slow
 def test_gradient_parity_kerple():
     """Cross-framework GRADIENT parity (VERDICT r2 missing #3): one full
     backward of the flagship variant (FAVOR+ + KERPLE) under identical

@@ -310,6 +310,7 @@ def test_export_and_predict_serve_ema_shadow(tmp_path, rng):
     assert np.abs(got - live_logits).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_export_rebuilds_moe_and_num_features(tmp_path):
     """Checkpoints record MoE shape and feature count; export rebuilds the
     exact architecture (a mismatched template fails loudly otherwise)."""

@@ -674,6 +674,7 @@ def test_multi_step_threads_redraw_state(rng):
                                       np.asarray(before) + K)
 
 
+@pytest.mark.slow
 def test_train_epoch_fused_matches_plain(rng):
     """The fused-chunk epoch driver produces the same updates and metrics
     as the per-batch loop (deterministic model: dropout 0, no augment, no
@@ -697,6 +698,7 @@ def test_train_epoch_fused_matches_plain(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_epoch_gather_fused_matches_plain(rng):
     """The gather-fused driver (batch assembly inside the scan) produces
     the same updates and metrics as the per-batch loop, including the
@@ -767,6 +769,7 @@ def test_evaluate_gather_fused_matches_plain(rng):
                                   np.asarray(plain["confusion_matrix"]))
 
 
+@pytest.mark.slow
 def test_ensemble_step_matches_independent_members(rng):
     """A vmapped ensemble step == each member stepped independently with
     its own init and dropout key (shared batch)."""
@@ -802,6 +805,7 @@ def test_ensemble_step_matches_independent_members(rng):
                                        atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ensemble_gather_multi_matches_independent(rng):
     """The S-member K-step gather-fused program == each member run through
     its own single-model gather-fused chunk."""
@@ -874,6 +878,7 @@ def test_ensemble_gather_eval_matches_single(rng):
         np.testing.assert_array_equal(np.asarray(pi), np.asarray(preds[i]))
 
 
+@pytest.mark.slow
 def test_ensemble_train_epoch_and_evaluate_match_members(rng):
     """The ensemble epoch/eval drivers reproduce each member's own
     gather-fused epoch (keys are unused at dropout 0 / no augment, and the
@@ -927,6 +932,7 @@ def test_ensemble_train_epoch_and_evaluate_match_members(rng):
                                        atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ensemble_per_member_order_matches_sequential_seeds(rng):
     """With per_member_order + member_rngs seeded default_rng(seed_i), each
     ensemble member reproduces a SEQUENTIAL run whose dataset was seeded
@@ -982,6 +988,7 @@ def test_ensemble_per_member_order_matches_sequential_seeds(rng):
     assert tm["loss"][0] != pytest.approx(tm["loss"][1], rel=1e-9)
 
 
+@pytest.mark.slow
 def test_ensemble_step_mesh_sharded_members(rng):
     """Ensemble x DP (round 4): make_ensemble_train_step(mesh=) shards the
     stacked member axis over 'data' — results identical to the unsharded
@@ -1022,6 +1029,7 @@ def test_ensemble_step_mesh_sharded_members(rng):
     assert len(leaf.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_train_step_flash_with_dropout_reference_default(monkeypatch):
     """Reference-default softmax training (attention dropout 0.1) wired
     end-to-end through the FLASH path (VERDICT r3 missing #1): when the
