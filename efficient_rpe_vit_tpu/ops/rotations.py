@@ -258,7 +258,22 @@ def apply_circulant_rotation(x, positions, coeffs):
     """
     D = x.shape[-1]
     theta = _circulant_theta(positions, coeffs, D)  # [H, N, K]
-    ct, st = jnp.cos(theta)[None], jnp.sin(theta)[None]
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+
+    # On TPU the whole chain runs in ONE Pallas pass per tile
+    # (ops/pallas/rotation_kernels.py): the XLA lowering materialises the
+    # four half-spectrum intermediates in HBM between the matmul pairs —
+    # measured ~36 ms of a ViT-B N=4097 train step for ~7 GFLOP of math.
+    # The angle tables stay here so the coeffs autodiff chain is XLA's;
+    # the kernel's custom VJP returns (dx, dct, dst).
+    from .pallas import pallas_available
+
+    if pallas_available() and isinstance(x.shape[0], int):
+        from .pallas.rotation_kernels import circulant_rotate
+
+        return circulant_rotate(x, ct, st)
+
+    ct, st = ct[None], st[None]
     C_f, S_f, C_b, S_b = _rdft_matrices(D)
     x32 = x.astype(jnp.float32)
     x_re = x32 @ C_f

@@ -827,3 +827,76 @@ def test_fused_phi_model_matches_unfused(rng):
     out_fused = m_fused.apply(v_ref, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+# ─── circulant rotation kernel (round 5) ────────────────────────────────
+
+@pytest.fixture
+def circ_rot_inputs(rng):
+    B, H, N, D = 2, 3, 190, 16
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (B, H, N, D))
+    theta = jax.random.normal(k2, (H, N, D // 2 + 1)) * 0.3
+    return x, jnp.cos(theta), jnp.sin(theta)
+
+
+def _circ_rot_xla(x, ct, st):
+    """The XLA DFT-matmul formulation (rotations.py fallback) as oracle."""
+    from efficient_rpe_vit_tpu.ops.rotations import _rdft_matrices
+
+    C_f, S_f, C_b, S_b = _rdft_matrices(x.shape[-1])
+    x32 = x.astype(jnp.float32)
+    x_re = x32 @ C_f
+    x_im = -(x32 @ S_f)
+    y_re = ct[None] * x_re - st[None] * x_im
+    y_im = st[None] * x_re + ct[None] * x_im
+    return (y_re @ C_b - y_im @ S_b).astype(x.dtype)
+
+
+def test_circulant_rotate_kernel_matches_xla(circ_rot_inputs):
+    from efficient_rpe_vit_tpu.ops.pallas.rotation_kernels import (
+        circulant_rotate,
+    )
+
+    x, ct, st = circ_rot_inputs
+    got = circulant_rotate(x, ct, st, 64, True)
+    want = _circ_rot_xla(x, ct, st)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_circulant_rotate_kernel_gradients(circ_rot_inputs, rng):
+    """Custom VJP (dx = reverse rotation; dct/dst = spectral products
+    accumulated over batch) == autodiff through the XLA oracle."""
+    from efficient_rpe_vit_tpu.ops.pallas.rotation_kernels import (
+        circulant_rotate,
+    )
+
+    x, ct, st = circ_rot_inputs
+    g = jax.random.normal(rng, x.shape)
+    gk = jax.grad(lambda x, ct, st: jnp.vdot(
+        circulant_rotate(x, ct, st, 64, True), g),
+        argnums=(0, 1, 2))(x, ct, st)
+    gx = jax.grad(lambda x, ct, st: jnp.vdot(
+        _circ_rot_xla(x, ct, st), g),
+        argnums=(0, 1, 2))(x, ct, st)
+    for name, a, b in zip(["dx", "dct", "dst"], gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_circulant_rotate_kernel_small_and_odd_shapes(rng):
+    """Heavy padding (N=17) and a head_dim whose K pads differently."""
+    from efficient_rpe_vit_tpu.ops.pallas.rotation_kernels import (
+        circulant_rotate,
+    )
+
+    for (B, H, N, D) in [(1, 2, 17, 16), (3, 1, 65, 64)]:
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, N))
+        x = jax.random.normal(k1, (B, H, N, D))
+        theta = jax.random.normal(k2, (H, N, D // 2 + 1)) * 0.3
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        got = circulant_rotate(x, ct, st, 128, True)
+        want = _circ_rot_xla(x, ct, st)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
