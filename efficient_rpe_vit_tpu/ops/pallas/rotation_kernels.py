@@ -1,12 +1,16 @@
 """Single-pass Circulant-STRING rotation kernel (Pallas TPU).
 
-The XLA formulation of the circulant rotation (ops/rotations.py::
-apply_circulant_rotation — two real-DFT matmul pairs around a per-(h, n)
-complex rotation) materialises the half-spectrum intermediates
-x_re/x_im/y_re/y_im in HBM between the matmuls and refetches the angle
-tables per use: measured ~36 ms of a ViT-B N=4097 train step (~12% of the
-whole step) for what is arithmetically ~7 GFLOP of work. This kernel does
-the whole chain in-register per [block_n, 128] tile:
+STATUS: built, parity-tested, and measured SLOWER than the XLA DFT-matmul
+chain at the model level — 0.86-0.97x on the three circulant variants at
+ViT-B N=4097 (same-process A/B, results/rotation_kernel_ab_r5.json). The
+K = D/2+1 = 33 half-spectrum pads to 128 lanes (3.9x wasted MXU columns
+per DFT pass) and the [block_n, 128] tiles are too small to hide
+grid-step overhead at D=64, while XLA fuses the chain's elementwise
+epilogues well since the round-5 rotation rework. Dispatch therefore
+defaults to the XLA chain (ops/rotations.py::USE_PALLAS_ROTATION); the
+kernel stays as the real-DFT-in-Pallas pattern for head dims that fill
+the lanes (K >= 128, i.e. D >= 254). It runs the whole chain in-register
+per [block_n, 128] tile:
 
     x_re = x C_f ; x_im = -(x S_f)
     y_re = ct*x_re - st*x_im ; y_im = st*x_re + ct*x_im

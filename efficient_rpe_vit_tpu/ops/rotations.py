@@ -16,9 +16,22 @@ CLS token (index 0) is excluded from rotation (circulant_string.py:321-341).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 import jax.numpy as jnp
+
+# Dispatch gate for the single-pass Pallas rotation kernel
+# (ops/pallas/rotation_kernels.py). Default OFF: the same-process
+# model-level A/B at ViT-B N=4097 (results/rotation_kernel_ab_r5.json,
+# experiments/rotation_kernel_ab.py) measured the kernel 0.86-0.97x vs
+# this file's XLA DFT-matmul chain — the chain's elementwise epilogues
+# fuse, while the kernel pads the K=33 half-spectrum to 128 lanes (3.9x
+# wasted MXU columns per DFT pass). Opt in via ERV_PALLAS_ROTATION=1 or
+# flip at runtime for same-process A/Bs (retraces on next jit).
+USE_PALLAS_ROTATION = os.environ.get(
+    "ERV_PALLAS_ROTATION", "0") in ("1", "true", "True")
 
 
 # ------------------------------------------------------------------ RoPE ---
@@ -260,15 +273,14 @@ def apply_circulant_rotation(x, positions, coeffs):
     theta = _circulant_theta(positions, coeffs, D)  # [H, N, K]
     ct, st = jnp.cos(theta), jnp.sin(theta)
 
-    # On TPU the whole chain runs in ONE Pallas pass per tile
-    # (ops/pallas/rotation_kernels.py): the XLA lowering materialises the
-    # four half-spectrum intermediates in HBM between the matmul pairs —
-    # measured ~36 ms of a ViT-B N=4097 train step for ~7 GFLOP of math.
-    # The angle tables stay here so the coeffs autodiff chain is XLA's;
-    # the kernel's custom VJP returns (dx, dct, dst).
+    # A single-pass Pallas kernel for this chain exists
+    # (ops/pallas/rotation_kernels.py) but is OFF by default — see the
+    # USE_PALLAS_ROTATION note above for the measured rejection. The angle
+    # tables stay in XLA either way so the coeffs autodiff chain is XLA's.
     from .pallas import pallas_available
 
-    if pallas_available() and isinstance(x.shape[0], int):
+    if (USE_PALLAS_ROTATION and pallas_available()
+            and isinstance(x.shape[0], int)):
         from .pallas.rotation_kernels import circulant_rotate
 
         return circulant_rotate(x, ct, st)

@@ -81,15 +81,25 @@ def pallas_attention_flops(variant: str, B: int, H: int, N: int, D: int,
     )
     from efficient_rpe_vit_tpu.ops.pallas import pallas_available
 
+    from efficient_rpe_vit_tpu.ops import rotations
+
     if not pallas_available():
         return 0.0
+    total = 0.0
+    if "circulant" in variant and rotations.USE_PALLAS_ROTATION:
+        # round 5: the circulant rotation is a Pallas kernel too
+        # (ops/pallas/rotation_kernels.py). True matmul flops: fwd 4
+        # DFT contractions per q/k call (8*B*H*N*D*K each call), bwd 6
+        # (dx 4 + spectrum recompute 2) — rope stays an XLA matmul
+        # (counted by cost analysis).
+        K = D // 2 + 1
+        total += depth * (16.0 + 24.0) * B * H * N * D * K
     if variant.startswith("baseline") or variant == "vit":
-        # the softmax family: rope/circulant rotations are XLA-side ops on
-        # q/k BEFORE the flash kernel (models/attention.py:97-99), already
-        # counted by cost analysis — the kernel flops are identical
+        # softmax family: the rope rotation is XLA-side (already counted);
+        # the flash kernel flops are rotation-independent
         if softmax_needs_flash(B, H, N):
-            return depth * 7.0 * 2 * B * H * N * N * D
-        return 0.0
+            total += depth * 7.0 * 2 * B * H * N * N * D
+        return total
     if "most_general" in variant:  # KERPLE (favor_plus and relu families)
         dense_bytes = 5 * B * H * N * N * 4
         if (N >= KERPLE_DENSE_CROSSOVER_N
@@ -100,9 +110,9 @@ def pallas_attention_flops(variant: str, B: int, H: int, N: int, D: int,
                 F = int(num_features)
             else:
                 F = default_num_features(D)
-            return depth * 5.0 * 2 * B * H * N * N * (F + D)
-        return 0.0
-    return 0.0  # plain linear attention: pure XLA einsums
+            total += depth * 5.0 * 2 * B * H * N * N * (F + D)
+        return total
+    return total  # plain linear attention: pure XLA einsums
 
 
 def bench_one(variant: str, image: int, patch: int, batch: int,
