@@ -97,7 +97,19 @@ class SoftmaxAttention(nn.Module):
         if isinstance(rpe, (RoPE, RoPE2D)):
             q, k = rpe.apply_rotary(q, k)
         elif isinstance(rpe, CirculantStringRPE):
-            q, k = rpe.rotate(q, k)
+            # the rotated q/k feed the flash Pallas kernel whenever the
+            # memory-aware dispatch will pick it — the condition under
+            # which the Pallas rotation kernel wins (chains
+            # layout-compatibly into the custom call; ops/rotations.py)
+            from ..ops.attention_core import softmax_needs_flash
+
+            prefer = (
+                self.seq_mesh is None
+                and isinstance(q.shape[0], int)
+                and not return_attention
+                and softmax_needs_flash(q.shape[0], q.shape[1], q.shape[2])
+            )
+            q, k = rpe.rotate(q, k, prefer_kernel=prefer)
 
         if self.seq_mesh is not None:
             if mask is not None or return_attention:

@@ -200,8 +200,13 @@ class CirculantStringRPE(nn.Module):
 
         return circulant_eigenvalues(self.circulant_coeffs)
 
-    def rotate(self, q, k):
-        """Rotate q/k patch tokens; CLS passes through."""
+    def rotate(self, q, k, prefer_kernel: bool = False):
+        """Rotate q/k patch tokens; CLS passes through.
+
+        prefer_kernel: the caller's hint that the rotated q/k feed a
+        Pallas custom call (flash softmax) — the measured win condition
+        for the single-pass rotation kernel (ops/rotations.py
+        USE_PALLAS_ROTATION note)."""
         if self._blocked:
             from ..ops.rotations import (
                 _rotate_keep_cls,
@@ -217,7 +222,9 @@ class CirculantStringRPE(nn.Module):
                 apply_block_circulant_rotation, k, self._positions,
                 self.circulant_coeffs)
             return q_rot, k_rot
-        return apply_circulant_string(q, k, self._positions, self.circulant_coeffs)
+        return apply_circulant_string(q, k, self._positions,
+                                      self.circulant_coeffs,
+                                      prefer_kernel=prefer_kernel)
 
     def __call__(self, x):  # BaseRPE-interface no-op
         return x

@@ -23,15 +23,40 @@ import numpy as np
 import jax.numpy as jnp
 
 # Dispatch gate for the single-pass Pallas rotation kernel
-# (ops/pallas/rotation_kernels.py). Default OFF: the same-process
-# model-level A/B at ViT-B N=4097 (results/rotation_kernel_ab_r5.json,
-# experiments/rotation_kernel_ab.py) measured the kernel 0.86-0.97x vs
-# this file's XLA DFT-matmul chain — the chain's elementwise epilogues
-# fuse, while the kernel pads the K=33 half-spectrum to 128 lanes (3.9x
-# wasted MXU columns per DFT pass). Opt in via ERV_PALLAS_ROTATION=1 or
-# flip at runtime for same-process A/Bs (retraces on next jit).
-USE_PALLAS_ROTATION = os.environ.get(
-    "ERV_PALLAS_ROTATION", "0") in ("1", "true", "True")
+# (ops/pallas/rotation_kernels.py). Tri-state:
+#   "auto" (default) — use the kernel only when the rotation's CONSUMER
+#       is itself a Pallas custom call (the flash softmax kernel): there
+#       the kernel chains layout-compatibly into the custom call and wins
+#       (+4% full ViT-B N=4097 train step), while the XLA DFT-matmul
+#       chain pays relayout/epilogue copies at the custom-call boundary.
+#       When the consumer is XLA (the performer phi projections), the
+#       fused XLA chain wins instead — isolated, the chain runs
+#       0.28 ms/rotation vs the kernel's 0.54 at [4,12,4097,64] bf16
+#       (chained in-jit protocol; the ~1.5 ms tunnel dispatch floor makes
+#       single-call timings meaningless) — so "auto" keeps it there.
+#       Model-level A/Bs: results/rotation_kernel_ab_r5c.json.
+#   True / "1"  — force the kernel everywhere (A/B arms, ERV_PALLAS_ROTATION=1).
+#   False / "0" — force the XLA chain everywhere.
+_ROT_ENV = os.environ.get("ERV_PALLAS_ROTATION", "auto")
+USE_PALLAS_ROTATION = (
+    True if _ROT_ENV in ("1", "true", "True")
+    else False if _ROT_ENV in ("0", "false", "False")
+    else "auto"
+)
+
+
+def rotation_kernel_enabled(prefer_kernel: bool) -> bool:
+    """Resolve the tri-state gate for one rotation site.
+
+    prefer_kernel: True when the rotation output feeds a Pallas custom
+    call (flash softmax) rather than XLA ops — the measured win condition
+    for the kernel under "auto"."""
+    mode = USE_PALLAS_ROTATION
+    if mode is True:
+        return True
+    if mode is False:
+        return False
+    return bool(prefer_kernel)
 
 
 # ------------------------------------------------------------------ RoPE ---
@@ -274,12 +299,14 @@ def apply_circulant_rotation(x, positions, coeffs):
     ct, st = jnp.cos(theta), jnp.sin(theta)
 
     # A single-pass Pallas kernel for this chain exists
-    # (ops/pallas/rotation_kernels.py) but is OFF by default — see the
-    # USE_PALLAS_ROTATION note above for the measured rejection. The angle
-    # tables stay in XLA either way so the coeffs autodiff chain is XLA's.
+    # (ops/pallas/rotation_kernels.py); a direct call carries no
+    # consumer information, so under "auto" it stays on the XLA chain —
+    # see the USE_PALLAS_ROTATION note above for the measured policy. The
+    # angle tables stay in XLA either way so the coeffs autodiff chain is
+    # XLA's.
     from .pallas import pallas_available
 
-    if (USE_PALLAS_ROTATION and pallas_available()
+    if (rotation_kernel_enabled(False) and pallas_available()
             and isinstance(x.shape[0], int)):
         from .pallas.rotation_kernels import circulant_rotate
 
@@ -346,11 +373,32 @@ def _rotate_keep_cls(rotate_fn, x, positions, coeffs):
     return jnp.where(is_cls, x, x_rot)
 
 
-def apply_circulant_string(q, k, positions, coeffs):
+def apply_circulant_string(q, k, positions, coeffs, prefer_kernel=False):
     """Rotate patch tokens of q and k; CLS (index 0) passes through unchanged
-    (reference: circulant_string.py:297-341)."""
+    (reference: circulant_string.py:297-341).
+
+    prefer_kernel: set True by callers whose CONSUMER of the rotated q/k
+    is a Pallas custom call (flash softmax) — the condition under which
+    the rotation kernel wins at the model level (USE_PALLAS_ROTATION
+    note). On the Pallas path the angle tables are computed ONCE and
+    shared by q and k, and the CLS passthrough happens in-kernel
+    (`keep_cls`) instead of a caller-side jnp.where pass over each full
+    tensor."""
     if q.shape[2] <= 1:
         return q, k
+    from .pallas import pallas_available
+
+    if (rotation_kernel_enabled(prefer_kernel) and pallas_available()
+            and isinstance(q.shape[0], int)):
+        from .pallas.rotation_kernels import BLOCK_N, circulant_rotate
+
+        pos = np.asarray(positions, dtype=np.float32)
+        pos_all = np.concatenate(
+            [np.zeros((1, pos.shape[1]), np.float32), pos])
+        theta = _circulant_theta(pos_all, coeffs, q.shape[-1])
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        return (circulant_rotate(q, ct, st, BLOCK_N, False, True),
+                circulant_rotate(k, ct, st, BLOCK_N, False, True))
     q_rot = _rotate_keep_cls(apply_circulant_rotation, q, positions, coeffs)
     k_rot = _rotate_keep_cls(apply_circulant_rotation, k, positions, coeffs)
     return q_rot, k_rot

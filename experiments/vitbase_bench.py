@@ -86,12 +86,18 @@ def pallas_attention_flops(variant: str, B: int, H: int, N: int, D: int,
     if not pallas_available():
         return 0.0
     total = 0.0
-    if "circulant" in variant and rotations.USE_PALLAS_ROTATION:
-        # round 5: the circulant rotation is a Pallas kernel too
-        # (ops/pallas/rotation_kernels.py). True matmul flops: fwd 4
-        # DFT contractions per q/k call (8*B*H*N*D*K each call), bwd 6
-        # (dx 4 + spectrum recompute 2) — rope stays an XLA matmul
-        # (counted by cost analysis).
+    rot_prefer = (
+        (variant.startswith("baseline") or variant == "vit")
+        and softmax_needs_flash(B, H, N)
+    )
+    if ("circulant" in variant
+            and rotations.rotation_kernel_enabled(rot_prefer)):
+        # round 5: the circulant rotation is a Pallas kernel on the
+        # flash-consumer path (ops/pallas/rotation_kernels.py; "auto"
+        # dispatch — ops/rotations.py USE_PALLAS_ROTATION note). True
+        # matmul flops: fwd 4 DFT contractions per q/k call
+        # (8*B*H*N*D*K each call), bwd 6 (dx 4 + spectrum recompute 2) —
+        # rope stays an XLA matmul (counted by cost analysis).
         K = D // 2 + 1
         total += depth * (16.0 + 24.0) * B * H * N * D * K
     if variant.startswith("baseline") or variant == "vit":

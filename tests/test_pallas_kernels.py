@@ -885,6 +885,34 @@ def test_circulant_rotate_kernel_gradients(circ_rot_inputs, rng):
                                    rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+def test_circulant_rotate_kernel_keep_cls(circ_rot_inputs, rng):
+    """In-kernel CLS passthrough (keep_cls=True) == the caller-side
+    jnp.where over the rotated tensor, for the output and all grads."""
+    from efficient_rpe_vit_tpu.ops.pallas.rotation_kernels import (
+        circulant_rotate,
+    )
+
+    x, ct, st = circ_rot_inputs
+    g = jax.random.normal(rng, x.shape)
+
+    def oracle(x, ct, st):
+        rot = _circ_rot_xla(x, ct, st)
+        is_cls = (jnp.arange(x.shape[2]) == 0)[None, None, :, None]
+        return jnp.where(is_cls, x, rot)
+
+    got = circulant_rotate(x, ct, st, 64, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle(x, ct, st)),
+                               rtol=1e-4, atol=1e-5)
+    gk = jax.grad(lambda x, ct, st: jnp.vdot(
+        circulant_rotate(x, ct, st, 64, True, True), g),
+        argnums=(0, 1, 2))(x, ct, st)
+    gx = jax.grad(lambda x, ct, st: jnp.vdot(oracle(x, ct, st), g),
+                  argnums=(0, 1, 2))(x, ct, st)
+    for name, a, b in zip(["dx", "dct", "dst"], gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
 def test_circulant_rotate_kernel_small_and_odd_shapes(rng):
     """Heavy padding (N=17) and a head_dim whose K pads differently."""
     from efficient_rpe_vit_tpu.ops.pallas.rotation_kernels import (

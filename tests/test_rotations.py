@@ -188,3 +188,18 @@ def test_gradients_through_rotation(rng):
     g = jax.grad(loss)(coeffs)
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.abs(g).max()) > 1e-8
+
+
+def test_rotation_kernel_dispatch_tristate(monkeypatch):
+    """USE_PALLAS_ROTATION policy: "auto" follows the consumer hint
+    (kernel only when the rotated q/k feed a Pallas custom call);
+    True/False force either arm (the A/B harness contract)."""
+    from efficient_rpe_vit_tpu.ops import rotations
+
+    monkeypatch.setattr(rotations, "USE_PALLAS_ROTATION", "auto")
+    assert rotations.rotation_kernel_enabled(True) is True
+    assert rotations.rotation_kernel_enabled(False) is False
+    monkeypatch.setattr(rotations, "USE_PALLAS_ROTATION", True)
+    assert rotations.rotation_kernel_enabled(False) is True
+    monkeypatch.setattr(rotations, "USE_PALLAS_ROTATION", False)
+    assert rotations.rotation_kernel_enabled(True) is False
