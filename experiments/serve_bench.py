@@ -172,61 +172,116 @@ def main(argv=None):
     cases = [("live_model", "live"), ("artifact_fp32", None),
              ("artifact_bf16", "bfloat16"), ("artifact_int8", "int8")]
     for label, wd in cases:
-        chain_fn = None
-        artifact_bytes = None
-        if wd != "live":
-            exported = export_forward(
-                model, variables, image_size=m.image_size,
-                in_channels=m.in_channels, weights_dtype=wd,
-            )
-            # measure what would be written to disk, then serve the
-            # deserialized form — exactly the production path
-            blob = bytes(exported.serialize())
-            artifact_bytes = len(blob)
-            from jax import export as jax_export
+        # each case is fault-isolated: at ViT-B scale the fp32
+        # weight-embedded artifact is ~340 MB of StableHLO constants,
+        # which this environment's remote-compile tunnel rejects outright
+        # (HTTP 413 request-length limit) — an environment ceiling, not a
+        # framework one; the bf16/int8 artifacts (the dtypes one would
+        # actually serve) fit. Record the error and keep measuring.
+        try:
+            chain_fn = None
+            artifact_bytes = None
+            if wd != "live":
+                exported = export_forward(
+                    model, variables, image_size=m.image_size,
+                    in_channels=m.in_channels, weights_dtype=wd,
+                )
+                # measure what would be written to disk, then serve the
+                # deserialized form — exactly the production path
+                blob = bytes(exported.serialize())
+                artifact_bytes = len(blob)
+                from jax import export as jax_export
 
-            exported = jax_export.deserialize(bytearray(blob))
-            artifacts[label] = exported
-            chain_fn = artifact_chain(exported)
-        for batch in args.batches:
-            images = jax.random.normal(
-                jax.random.PRNGKey(batch),
-                (batch, m.image_size, m.image_size, m.in_channels),
-            )
-            r = benchmark_inference(state, model, images,
-                                    chain_fn=chain_fn, **bench_kwargs)
-            row = {"case": label, "batch": batch,
-                   "p50_ms": r["latency_p50_ms"],
-                   "mean_ms": r["latency_mean_ms"],
-                   "us_per_sample": r["latency_ms_per_sample"] * 1e3,
-                   "images_per_sec": r["throughput_images_per_sec"],
-                   "chain_length": r["chain_length"],
-                   "fetch_rt_ms": r["fetch_rt_ms"]}
+                exported = jax_export.deserialize(bytearray(blob))
+                artifacts[label] = exported
+                chain_fn = artifact_chain(exported)
+            for batch in args.batches:
+                # per-batch isolation: a transient tunnel error on one
+                # batch size must not discard the case's other rows or
+                # its agreement entry below
+                try:
+                    images = jax.random.normal(
+                        jax.random.PRNGKey(batch),
+                        (batch, m.image_size, m.image_size, m.in_channels),
+                    )
+                    r = benchmark_inference(state, model, images,
+                                            chain_fn=chain_fn,
+                                            **bench_kwargs)
+                except Exception as e:
+                    err = f"{type(e).__name__}: {str(e)[:300]}"
+                    rows.append({"case": label, "batch": batch,
+                                 "error": err})
+                    print(f"{label:14s} B={batch:<4d} FAILED {err}",
+                          flush=True)
+                    if "413" in err:
+                        # request-length limit: deterministic for this
+                        # artifact size — retrying other batches would
+                        # burn ~10 min per compile attempt for the same
+                        # outcome
+                        break
+                    continue
+                row = {"case": label, "batch": batch,
+                       "p50_ms": r["latency_p50_ms"],
+                       "mean_ms": r["latency_mean_ms"],
+                       "us_per_sample": r["latency_ms_per_sample"] * 1e3,
+                       "images_per_sec": r["throughput_images_per_sec"],
+                       "chain_length": r["chain_length"],
+                       "fetch_rt_ms": r["fetch_rt_ms"]}
+                if artifact_bytes is not None:
+                    row["artifact_bytes"] = artifact_bytes
+                if r.get("clipped_chains"):
+                    row["clipped_chains"] = r["clipped_chains"]
+                rows.append(row)
+                print(f"{label:14s} B={batch:<4d} "
+                      f"p50 {row['p50_ms']:.4f} ms/batch"
+                      f"  {row['us_per_sample']:.2f} us/sample"
+                      f"  {row['images_per_sec']:,.0f} img/s", flush=True)
+        except Exception as e:
+            # export/serialize/compile failure for the whole case (e.g.
+            # the ~340 MB fp32 ViT-B artifact vs the remote-compile
+            # request limit) — record and keep measuring the other cases
+            artifacts.pop(label, None)
+            err = f"{type(e).__name__}: {str(e)[:300]}"
+            rows.append({"case": label, "error": err})
             if artifact_bytes is not None:
-                row["artifact_bytes"] = artifact_bytes
-            if r.get("clipped_chains"):
-                row["clipped_chains"] = r["clipped_chains"]
-            rows.append(row)
-            print(f"{label:14s} B={batch:<4d} p50 {row['p50_ms']:.4f} ms/batch"
-                  f"  {row['us_per_sample']:.2f} us/sample"
-                  f"  {row['images_per_sec']:,.0f} img/s", flush=True)
+                rows[-1]["artifact_bytes"] = artifact_bytes
+            print(f"{label:14s} FAILED {err}", flush=True)
 
     agreement = None
-    if args.vitb and "artifact_fp32" in artifacts:
+    if args.vitb and ("artifact_fp32" in artifacts or artifacts):
         # quantization fidelity at ViT-B scale: top-1 agreement + logit
-        # error of each reduced-precision artifact vs the fp32 artifact
+        # error of each reduced-precision artifact vs the fp32 reference
         # on held-out inputs (the int8 "accuracy delta" at a scale with
-        # no real eval set in this environment)
+        # no real eval set in this environment). When the fp32 ARTIFACT
+        # cannot compile here (340 MB StableHLO vs the remote-compile
+        # request limit), the live fp32-weights model is the reference —
+        # same weights, same math.
         probe = jax.random.normal(jax.random.PRNGKey(123),
                                   (64, m.image_size, m.image_size,
                                    m.in_channels))
-        ref_logits = artifacts["artifact_fp32"].call(probe)
+        if "artifact_fp32" in artifacts:
+            ref_logits = artifacts["artifact_fp32"].call(probe)
+            ref_name = "artifact_fp32"
+        else:
+            ref_logits = model.apply(variables, probe, deterministic=True)
+            ref_name = "live_model_fp32_weights"
+        ref_logits = ref_logits.astype(jnp.float32)
         ref_top1 = jnp.argmax(ref_logits, -1)
-        agreement = {}
+        agreement = {"reference": ref_name}
         for label in ("artifact_bf16", "artifact_int8"):
             if label not in artifacts:
                 continue
-            lg = artifacts[label].call(probe).astype(jnp.float32)
+            try:
+                lg = artifacts[label].call(probe).astype(jnp.float32)
+            except Exception as e:
+                # the agreement probe is a fresh batch-64 compile of the
+                # weight-embedded artifact — the same tunnel limits that
+                # can fail a latency row apply here; keep the record
+                agreement[label] = {
+                    "error": f"{type(e).__name__}: {str(e)[:300]}"}
+                print(f"{label}: agreement probe FAILED "
+                      f"{agreement[label]['error']}", flush=True)
+                continue
             agreement[label] = {
                 "top1_agreement": float(
                     jnp.mean(jnp.argmax(lg, -1) == ref_top1)),
