@@ -276,6 +276,37 @@ def _rdft_matrices(D: int):
     return C_f, S_f, C_b, S_b
 
 
+# XLA-chain intermediates ride the INPUT dtype (a no-op under fp32
+# compute; under bf16 it halves the HBM bytes of the tile-padded [*, K]
+# spectrum arrays). Rule-7 chained micro at [4,12,4097,64] bf16:
+# 0.265 -> 0.173 ms/rotation fwd, 0.518 -> 0.361 fwd+bwd; the bf16
+# rounding of the intermediates is ~1% relative — the model's own
+# compute precision. False restores the old fp32 intermediates (A/B arm).
+CHAIN_INPUT_DTYPE = True
+
+
+def _dft_chain(x, ct, st, C_f, S_f, C_b, S_b):
+    """spectrum -> rotate -> inverse as matmuls; intermediates at the
+    input dtype when CHAIN_INPUT_DTYPE (fp32 accumulation either way)."""
+    if not CHAIN_INPUT_DTYPE:
+        x32 = x.astype(jnp.float32)
+        x_re = x32 @ C_f
+        x_im = -(x32 @ S_f)
+        y_re = ct * x_re - st * x_im
+        y_im = st * x_re + ct * x_im
+        return (y_re @ C_b - y_im @ S_b).astype(x.dtype)
+    dt = x.dtype
+    x_re = jnp.dot(x, C_f.astype(dt),
+                   preferred_element_type=jnp.float32).astype(dt)
+    x_im = (-jnp.dot(x, S_f.astype(dt),
+                     preferred_element_type=jnp.float32)).astype(dt)
+    y_re = (ct * x_re - st * x_im).astype(dt)
+    y_im = (st * x_re + ct * x_im).astype(dt)
+    return (jnp.dot(y_re, C_b.astype(dt), preferred_element_type=jnp.float32)
+            - jnp.dot(y_im, S_b.astype(dt),
+                      preferred_element_type=jnp.float32)).astype(dt)
+
+
 def apply_circulant_rotation(x, positions, coeffs):
     """x' = exp(sum_k r_k L_k) @ x via the real half-spectrum along head_dim.
 
@@ -314,12 +345,7 @@ def apply_circulant_rotation(x, positions, coeffs):
 
     ct, st = ct[None], st[None]
     C_f, S_f, C_b, S_b = _rdft_matrices(D)
-    x32 = x.astype(jnp.float32)
-    x_re = x32 @ C_f
-    x_im = -(x32 @ S_f)
-    y_re = ct * x_re - st * x_im
-    y_im = st * x_re + ct * x_im
-    return (y_re @ C_b - y_im @ S_b).astype(x.dtype)
+    return _dft_chain(x, ct, st, C_f, S_f, C_b, S_b)
 
 
 def apply_block_circulant_rotation(x, positions, coeffs):
@@ -349,13 +375,8 @@ def apply_block_circulant_rotation(x, positions, coeffs):
     theta = _circulant_theta(positions, coeffs, bs)  # [H, N, nb, K]
     ct, st = jnp.cos(theta)[None], jnp.sin(theta)[None]
     C_f, S_f, C_b, S_b = _rdft_matrices(bs)
-    xb = x.astype(jnp.float32).reshape(B, H, N, nb, bs)
-    x_re = xb @ C_f
-    x_im = -(xb @ S_f)
-    y_re = ct * x_re - st * x_im
-    y_im = st * x_re + ct * x_im
-    y = y_re @ C_b - y_im @ S_b
-    return y.reshape(B, H, N, D).astype(x.dtype)
+    xb = x.reshape(B, H, N, nb, bs)
+    return _dft_chain(xb, ct, st, C_f, S_f, C_b, S_b).reshape(B, H, N, D)
 
 
 def _rotate_keep_cls(rotate_fn, x, positions, coeffs):

@@ -203,3 +203,20 @@ def test_rotation_kernel_dispatch_tristate(monkeypatch):
     assert rotations.rotation_kernel_enabled(False) is True
     monkeypatch.setattr(rotations, "USE_PALLAS_ROTATION", False)
     assert rotations.rotation_kernel_enabled(True) is False
+
+
+def test_chain_input_dtype_fp32_noop(rng, monkeypatch):
+    """CHAIN_INPUT_DTYPE only changes bf16 intermediates: under fp32
+    inputs both arms produce bit-identical rotations."""
+    from efficient_rpe_vit_tpu.ops import rotations
+
+    heads, head_dim, n = 2, 16, 9
+    coeffs = jax.random.normal(rng, (heads, 2, head_dim)) * 0.01
+    x = jax.random.normal(rng, (1, heads, n, head_dim))
+    pos = grid_positions_2d(n)
+    monkeypatch.setattr(rotations, "CHAIN_INPUT_DTYPE", True)
+    a = rotations.apply_circulant_rotation(x, pos, coeffs)
+    monkeypatch.setattr(rotations, "CHAIN_INPUT_DTYPE", False)
+    b = rotations.apply_circulant_rotation(x, pos, coeffs)
+    assert a.dtype == b.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
